@@ -844,6 +844,380 @@ class ScaleWrap(Obj):
 
 
 # ---------------------------------------------------------------------------
+# batched (numpy) hit/side — vectorized counterparts of the scalar oracle
+# methods above.  Used by the Monte-Carlo envelope estimator (thousands of
+# rays per object) and as the intermediate reference for the device kernels.
+
+
+def _sphere_ray_hit_b(pos, r, p, d):
+    """Batched sphere_ray_hit (reference src/gmath.h:64-85). p,d: [N,3]."""
+    pp = p - pos
+    s = (pp * d).sum(-1)
+    q = (pp * pp).sum(-1) - r * r
+    s2 = s * s
+    disc = s2 - q
+    root = np.sqrt(np.maximum(disc, 0.0))
+    entry = (s < 0) & (q > 0)
+    exit_ = ((s < 0) | (q < 0))
+    a = np.where(entry, -s - root - EPS,
+                 np.where(exit_, -s + root - EPS, INF))
+    return np.where(disc >= 0, a, INF)
+
+
+def _env_ray_hits_b(env: Optional[Envelope], p, d):
+    if env is None:
+        return np.ones(len(p), bool)
+    return _sphere_ray_hit_b(env.pos, env.radius, p, d) < INF
+
+
+def _env_outside_b(env: Optional[Envelope], pos):
+    if env is None:
+        return np.zeros(len(pos), bool)
+    diff = pos - env.pos
+    return (diff * diff).sum(-1) > env.radius ** 2
+
+
+def _obj_ray_hit_b(obj: "Obj", p, d):
+    """obj_ray_hit dispatch with envelope early-out, batched."""
+    n = len(p)
+    mask = _env_ray_hits_b(obj.prp.envelope, p, d)
+    a = np.full(n, INF)
+    nor = np.zeros((n, 3))
+    if mask.any():
+        ai, ni = obj._raw_ray_hit_b(p[mask], d[mask])
+        a[mask] = ai
+        nor[mask] = ni
+    return a, nor
+
+
+def _obj_side_b(obj: "Obj", pos):
+    out = np.ones(len(pos), np.int64)
+    inside_env = ~_env_outside_b(obj.prp.envelope, pos)
+    if inside_env.any():
+        out[inside_env] = obj._raw_side_b(pos[inside_env])
+    return out
+
+
+def _raw_ray_hit_b_default(self, p, d):
+    """Fallback: loop the scalar oracle (only for classes without a
+    vectorized override)."""
+    n = len(p)
+    a = np.full(n, INF)
+    nor = np.zeros((n, 3))
+    for i in range(n):
+        ai, ni = self._raw_ray_hit(p[i], d[i])
+        a[i] = ai
+        if ni is not None:
+            nor[i] = ni
+    return a, nor
+
+
+def _raw_side_b_default(self, pos):
+    return np.array([self._raw_side(q) for q in pos], np.int64)
+
+
+Obj._raw_ray_hit_b = _raw_ray_hit_b_default
+Obj._raw_side_b = _raw_side_b_default
+Obj.ray_hit_b = _obj_ray_hit_b
+Obj.side_b = _obj_side_b
+
+
+def _plane_raw_ray_hit_b(self, p, d):
+    nor = self.prp.rax[2]
+    div = d @ nor
+    offs = ((self.prp.pos - p) @ nor) / np.where(div != 0, div, 1.0)
+    a = np.where((div != 0) & (offs > 0), offs - EPS, INF)
+    return a, np.broadcast_to(nor, p.shape).copy()
+
+
+def _plane_raw_side_b(self, pos):
+    return np.where((pos - self.prp.pos) @ self.prp.rax[2] > 0, 1, -1)
+
+
+Plane._raw_ray_hit_b = _plane_raw_ray_hit_b
+Plane._raw_side_b = _plane_raw_side_b
+
+
+def _sphere_raw_ray_hit_b(self, p, d):
+    a = _sphere_ray_hit_b(self.prp.pos, self.radius, p, d)
+    a_safe = np.where(np.isfinite(a), a, 0.0)
+    nor = p + d * a_safe[:, None] - self.prp.pos
+    ln = np.sqrt((nor * nor).sum(-1, keepdims=True))
+    nor = nor / np.where(ln > 0, ln, 1.0)
+    return a, np.where(np.isfinite(a[:, None]), nor, 0.0)
+
+
+def _sphere_raw_side_b(self, pos):
+    diff = pos - self.prp.pos
+    return np.where((diff * diff).sum(-1) > self.radius ** 2, 1, -1)
+
+
+Sphere._raw_ray_hit_b = _sphere_raw_ray_hit_b
+Sphere._raw_side_b = _sphere_raw_side_b
+
+
+def _squaroid_raw_ray_hit_b(self, p, d):
+    rax = self.prp.rax
+    pl = (p - self.prp.pos) @ rax.T
+    dl = d @ rax.T
+    coef = np.array([self.a, self.b, self.c])
+    f = (coef * dl * dl).sum(-1)
+    fs = (coef * dl * pl).sum(-1)
+    fq = (coef * pl * pl).sum(-1) + self.r
+    safe_f = np.where(f != 0, f, 1.0)
+    s = fs / safe_f
+    q = fq / safe_f
+    disc = s * s - q
+    root = np.sqrt(np.maximum(disc, 0.0))
+    a_quad = np.where(-s - root >= 0, -s - root,
+                      np.where(-s + root >= 0, -s + root, INF))
+    a_quad = np.where(disc >= 0, a_quad, INF)
+    safe_fs = np.where(fs != 0, fs, 1.0)
+    a_lin = np.where(fs != 0, -fq / (2 * safe_fs), INF)
+    a_lin = np.where(a_lin >= 0, a_lin, INF)
+    a = np.where(f != 0, a_quad, a_lin)
+    a_safe = np.where(np.isfinite(a), a, 0.0)[:, None]
+    n1 = np.where(np.isfinite(a[:, None]), (pl + a_safe * dl) * coef, 0.0)
+    nw = n1 @ rax
+    ln = np.sqrt((nw * nw).sum(-1, keepdims=True))
+    nor = nw / np.where(ln > 0, ln, 1.0)
+    return np.where(a < INF, a - EPS, INF), nor
+
+
+def _squaroid_raw_side_b(self, pos):
+    pl = (pos - self.prp.pos) @ self.prp.rax.T
+    coef = np.array([self.a, self.b, self.c])
+    val = (coef * pl * pl).sum(-1) + self.r
+    return np.where(val > 0, 1, -1)
+
+
+Squaroid._raw_ray_hit_b = _squaroid_raw_ray_hit_b
+Squaroid._raw_side_b = _squaroid_raw_side_b
+
+
+def _distance_batch_eval(dist, pos):
+    """Vectorized SDF evaluation for the known SDF types; pos [N,3]."""
+    if isinstance(dist, DistanceSphere):
+        return np.sqrt((pos * pos).sum(-1)) - 1.0
+    if isinstance(dist, DistanceTorus):
+        x, y = pos[:, 0], pos[:, 1]
+        f = np.sqrt(x * x + y * y)
+        f_inv = np.where(f > 0, 1.0 / np.where(f > 0, f, 1.0), 1.0)
+        xu, yu = x * f_inv, y * f_inv
+        return np.sqrt((xu - x) ** 2 + (yu - y) ** 2 + pos[:, 2] ** 2) \
+            - dist.ex_radius
+    return np.array([dist(q) for q in pos])
+
+
+def _distance_raw_ray_hit_b(self, p, d):
+    """Batched bidirectional sphere march (reference src/objects.c:903-959)."""
+    n = len(p)
+    offs0 = np.zeros(n)
+    env = self.prp.envelope
+    p = p.copy()
+    if env is not None:
+        outside = _env_outside_b(env, p)
+        if outside.any():
+            a_env = _sphere_ray_hit_b(env.pos, env.radius, p[outside],
+                                      d[outside])
+            offs0[outside] = a_env
+            dead = np.zeros(n, bool)
+            dead[outside] = ~np.isfinite(a_env)
+            offs0[~np.isfinite(offs0)] = 0.0
+            p[outside] += d[outside] * np.where(
+                np.isfinite(a_env), a_env, 0.0)[:, None]
+        else:
+            dead = np.zeros(n, bool)
+    else:
+        dead = np.zeros(n, bool)
+
+    rax = self.prp.rax
+    pl = ((p - self.prp.pos) @ rax.T) * self.inv_scale
+    dl = d @ rax.T
+
+    D = self.distance
+    offs1 = np.zeros(n)
+    dist = _distance_batch_eval(D, pl)
+    forward = dist > 0
+    active = ~dead
+    for _ in range(self.cycles):
+        if not active.any():
+            break
+        offs1 = np.where(active, offs1 + np.where(forward, dist + EPS,
+                                                  -(dist - EPS)), offs1)
+        dist_new = _distance_batch_eval(D, pl + dl * offs1[:, None])
+        dist = np.where(active, dist_new, dist)
+        crossed = np.where(forward, (dist < 0) | (dist > MAG),
+                           (dist > 0) | (dist < -MAG))
+        active = active & ~crossed
+    hit = (~dead) & (np.abs(dist) <= EPS)
+
+    a = np.full(n, INF)
+    nor = np.zeros((n, 3))
+    if hit.any():
+        q = pl[hit] + dl[hit] * offs1[hit, None]
+        d0 = _distance_batch_eval(D, q)
+        grad = np.stack([
+            (_distance_batch_eval(D, q + np.array([EPS, 0, 0])) - d0) / EPS,
+            (_distance_batch_eval(D, q + np.array([0, EPS, 0])) - d0) / EPS,
+            (_distance_batch_eval(D, q + np.array([0, 0, EPS])) - d0) / EPS,
+        ], axis=-1)
+        nw = grad @ rax
+        ln = np.sqrt((nw * nw).sum(-1, keepdims=True))
+        nor[hit] = nw / np.where(ln > 0, ln, 1.0)
+        a[hit] = offs0[hit] + offs1[hit] / self.inv_scale - EPS
+    return a, nor
+
+
+def _distance_raw_side_b(self, pos):
+    pl = ((pos - self.prp.pos) @ self.prp.rax.T) * self.inv_scale
+    return np.where(_distance_batch_eval(self.distance, pl) > 0, 1, -1)
+
+
+DistanceObj._raw_ray_hit_b = _distance_raw_ray_hit_b
+DistanceObj._raw_side_b = _distance_raw_side_b
+
+
+def _pair_raw_ray_hit_b(self, p, d, max_iters=64):
+    """Batched alternating CSG march (reference src/objects.c:1052-1094)."""
+    want = self._want
+    n = len(p)
+    a1, n1 = self.o1.ray_hit_b(p, d)
+    a2, n2 = self.o2.ray_hit_b(p, d)
+
+    a = np.full(n, INF)
+    nor = np.zeros((n, 3))
+
+    # case 1: nearest is o1's hit and it is valid w.r.t. o2
+    c1 = (a1 < a2) & (self.o2.side_b(p + d * np.where(np.isfinite(a1), a1,
+                                                      0.0)[:, None]) == want)
+    c1 &= np.isfinite(a1)
+    a[c1] = a1[c1]
+    nor[c1] = n1[c1]
+    # case 2: o2 missed entirely -> INF
+    done = c1 | ~np.isfinite(a2)
+    # case 3: o2's hit is valid w.r.t. o1
+    c3 = ~done & (self.o1.side_b(p + d * np.where(np.isfinite(a2), a2,
+                                                  0.0)[:, None]) == want)
+    a[c3] = a2[c3]
+    nor[c3] = n2[c3]
+    done |= c3
+
+    # marching loop from offs = a2, starting with o1
+    active = ~done
+    offs = np.where(active, a2, 0.0)
+    use1 = np.ones(n, bool)
+    for _ in range(max_iters):
+        if not active.any():
+            break
+        pl = p + d * offs[:, None]
+        ha1, hn1 = self.o1.ray_hit_b(pl[active], d[active])
+        ha2, hn2 = self.o2.ray_hit_b(pl[active], d[active])
+        u = use1[active]
+        ha = np.where(u, ha1, ha2)
+        hn = np.where(u[:, None], hn1, hn2)
+        # dead: current child missed
+        miss = ~np.isfinite(ha)
+        # side test of the *other* child at the new hit
+        hp = pl[active] + d[active] * np.where(np.isfinite(ha), ha,
+                                               0.0)[:, None]
+        so1 = self.o1.side_b(hp)
+        so2 = self.o2.side_b(hp)
+        sother = np.where(u, so2, so1)
+        valid = ~miss & (sother == want)
+
+        idx = np.flatnonzero(active)
+        vidx = idx[valid]
+        a[vidx] = offs[vidx] + ha[valid]
+        nor[vidx] = hn[valid]
+        midx = idx[miss]
+        cont = ~miss & ~valid
+        cidx = idx[cont]
+        offs[cidx] += ha[cont] + 2 * EPS
+        use1[cidx] = ~use1[cidx]
+        active[vidx] = False
+        active[midx] = False
+    return a, nor
+
+
+def _pair_inside_raw_side_b(self, pos):
+    return np.where(self.o1.side_b(pos) + self.o2.side_b(pos) == -2, -1, 1)
+
+
+def _pair_outside_raw_side_b(self, pos):
+    return np.where(self.o1.side_b(pos) + self.o2.side_b(pos) == 2, 1, -1)
+
+
+PairInside._raw_ray_hit_b = _pair_raw_ray_hit_b
+PairInside._raw_side_b = _pair_inside_raw_side_b
+PairOutside._raw_side_b = _pair_outside_raw_side_b
+
+
+def _neg_raw_ray_hit_b(self, p, d):
+    a, nr = self.o1.ray_hit_b(p, d)
+    return a, -nr
+
+
+def _neg_raw_side_b(self, pos):
+    return -self.o1.side_b(pos)
+
+
+Neg._raw_ray_hit_b = _neg_raw_ray_hit_b
+Neg._raw_side_b = _neg_raw_side_b
+
+
+def _scale_raw_ray_hit_b(self, p, d):
+    rax = self.prp.rax
+    pl = ((p - self.prp.pos) @ rax.T) * self.inv_scale
+    dl = (d @ rax.T) * self.inv_scale
+    d_len = np.sqrt((dl * dl).sum(-1))
+    d_fac = np.where(d_len > 0, 1.0 / np.where(d_len > 0, d_len, 1.0), 0.0)
+    dl = dl * d_fac[:, None]
+    a1, nr = self.o1.ray_hit_b(pl, dl)
+    hit = np.isfinite(a1)
+    nw = (nr * self.inv_scale) @ rax
+    ln = np.sqrt((nw * nw).sum(-1, keepdims=True))
+    nor = np.where(hit[:, None], nw / np.where(ln > 0, ln, 1.0), 0.0)
+    a = np.where(hit, (a1 + EPS) * d_fac - EPS, INF)
+    return a, nor
+
+
+def _scale_raw_side_b(self, pos):
+    pl = ((pos - self.prp.pos) @ self.prp.rax.T) * self.inv_scale
+    return self.o1.side_b(pl)
+
+
+ScaleWrap._raw_ray_hit_b = _scale_raw_ray_hit_b
+ScaleWrap._raw_side_b = _scale_raw_side_b
+
+
+def ray_exit_b(obj: Obj, p, d, max_iters=32):
+    """Batched obj_ray_exit (reference src/objects.c:286-310)."""
+    n = len(p)
+    a, nor = obj.ray_hit_b(p, d)
+    total = np.zeros(n)
+    last_nor = nor.copy()
+    active = np.isfinite(a)
+    ever_hit = active.copy()
+    pl = p.copy()
+    for _ in range(max_iters):
+        if not active.any():
+            break
+        step = a + EPS * 2
+        total = np.where(active, total + step, total)
+        pl = np.where(active[:, None], pl + d * step[:, None], pl)
+        a_new, nor_new = obj.ray_hit_b(pl[active], d[active])
+        idx = np.flatnonzero(active)
+        hit_again = np.isfinite(a_new)
+        last_nor[idx[hit_again]] = nor_new[hit_again]
+        a = np.full(n, INF)
+        a[idx[hit_again]] = a_new[hit_again]
+        active = np.isfinite(a)
+    leaving = (last_nor * d).sum(-1) > 0
+    return np.where(ever_hit & leaving, total, INF)
+
+
+# ---------------------------------------------------------------------------
 # auto-envelope estimation
 
 
@@ -861,27 +1235,22 @@ def estimate_envelope(obj: Obj, samples=1000, rseed=123, radius_factor=1.1) -> E
         return Envelope(obj.prp.pos, obj.radius * radius_factor)
 
     lcg = HostLcg(rseed)
-    p0 = obj.prp.pos
-    exits = []
-    for _ in range(samples):
-        d = lcg.sphere_belt(1.0)
-        a = obj.ray_exit(p0, d)
-        if a < INF:
-            exits.append(p0 + d * a)
-    if not exits:
-        return Envelope(p0, MAG)
-    pts = np.stack(exits)
+    dirs = np.stack([lcg.sphere_belt(1.0) for _ in range(samples)])
+    p0 = np.broadcast_to(obj.prp.pos, dirs.shape)
+    a = ray_exit_b(obj, np.ascontiguousarray(p0), dirs)
+    hit = np.isfinite(a)
+    if not hit.any():
+        return Envelope(obj.prp.pos, MAG)
+    pts = p0[hit] + dirs[hit] * a[hit, None]
     center = pts.mean(axis=0)
-    # second phase: re-cast from the centroid for a tighter, better-centered bound
-    exits2 = []
-    for _ in range(samples):
-        d = lcg.sphere_belt(1.0)
-        start = center + np.array([lcg.rnd0(), lcg.rnd0(), lcg.rnd0()]) * EPS
-        a = obj.ray_exit(start, d)
-        if a < INF:
-            exits2.append(start + d * a)
-    if exits2:
-        pts = np.concatenate([pts, np.stack(exits2)])
+    # second phase: re-cast from the centroid for a better-centered bound
+    dirs2 = np.stack([lcg.sphere_belt(1.0) for _ in range(samples)])
+    starts = center + (np.random.default_rng(rseed).uniform(
+        -1, 1, dirs2.shape) * EPS)
+    a2 = ray_exit_b(obj, starts, dirs2)
+    hit2 = np.isfinite(a2)
+    if hit2.any():
+        pts = np.concatenate([pts, starts[hit2] + dirs2[hit2] * a2[hit2, None]])
     radius = float(np.sqrt(((pts - center) ** 2).sum(axis=1).max())) * radius_factor
     return Envelope(center, radius)
 
@@ -1159,6 +1528,9 @@ class Scene:
         self.cfg = cfg if cfg is not None else RenderConfig()
         self.light = Compound()
         self.matter = Compound()
+
+    def clone(self):
+        return copy.deepcopy(self)
 
     def clear(self):
         self.light = Compound()
