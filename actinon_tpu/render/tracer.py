@@ -1,0 +1,709 @@
+"""Vectorized ray-scene intersection over the compiled Scene IR.
+
+TPU-native replacement for the reference hit stack
+(compound_s_ray_hit / compound_s_ray_trans_hit -> obj_ray_hit -> per-type
+vtable hits, reference src/compound.c:215-299, src/objects.c:245-310):
+
+  * All single-leaf objects of one analytic family are intersected with one
+    vectorized expression over struct-of-arrays tables ([R,S] etc.); the
+    sphere table is processed in chunks with a running min so scenes like
+    many_spheres.acn (32k spheres) never materialize [R,S].
+  * Composite (CSG) objects run a *crossing walk*: all leaf-surface
+    crossings along the ray are enumerated analytically, and the walk scans
+    them in order until the object's composite inside/outside predicate
+    (the static tree program, evaluated by unrolling) flips -- the
+    boundary.  This replaces the reference's recursive pair-marching
+    (reference src/objects.c:1052-1094) with a bounded, mask-driven
+    `lax.while_loop` -- the SIMD-friendly equivalent.
+  * The scene structure is static at trace time, so every per-object loop
+    here unrolls into straight-line XLA; there is no dynamic dispatch.
+
+All functions take/return jnp arrays shaped [R] / [R,3] and are meant to be
+called inside a jitted integrator.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from actinon_tpu.scene import ir as sir
+
+INF = jnp.inf
+SPHERE_CHUNK = 2048
+
+
+def _norm3(v):
+    ln = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+    return v / jnp.where(ln > 0, ln, 1.0)
+
+
+def _dot(a, b):
+    return jnp.sum(a * b, axis=-1)
+
+
+class _Tables:
+    """Per-family SoA tables for single-leaf objects (numpy, cast at use)."""
+
+    def __init__(self, dtype):
+        self.dtype = dtype
+        self.sph = dict(c=[], r=[], oid=[], env_c=[], env_r=[], neg=[])
+        self.pla = dict(n=[], k=[], oid=[], env_c=[], env_r=[], neg=[])
+        self.qua = dict(m=[], m0=[], coef=[], r=[], oid=[], env_c=[],
+                        env_r=[], neg=[])
+        self.sdf = []        # list of (leaf, oid) - static loop
+        self.composites = []  # list of (ObjIR, oid)
+
+    def add(self, obj: sir.ObjIR, oid: int):
+        if obj.single_leaf:
+            lf = obj.leaves[0]
+            env_c = obj.env_c if obj.env_c is not None else np.zeros(3)
+            env_r = obj.env_r if obj.env_c is not None else -1.0
+            if lf.family == sir.SPHERE and not lf.neg:
+                t = self.sph
+                t["c"].append(lf.c); t["r"].append(lf.r); t["oid"].append(oid)
+                t["env_c"].append(env_c); t["env_r"].append(env_r)
+                return
+            if lf.family == sir.PLANE and not lf.neg:
+                t = self.pla
+                t["n"].append(lf.n); t["k"].append(lf.k); t["oid"].append(oid)
+                t["env_c"].append(env_c); t["env_r"].append(env_r)
+                return
+            if lf.family == sir.QUADRIC and not lf.neg:
+                t = self.qua
+                t["m"].append(lf.m); t["m0"].append(lf.m0)
+                t["coef"].append(lf.coef); t["r"].append(lf.r)
+                t["oid"].append(oid)
+                t["env_c"].append(env_c); t["env_r"].append(env_r)
+                return
+            if lf.family == sir.SDF:
+                self.sdf.append((lf, oid, env_c, env_r))
+                return
+        self.composites.append((obj, oid))
+
+    def finalize(self):
+        dt = self.dtype
+        for t in (self.sph, self.pla, self.qua):
+            for k in list(t):
+                if k == "oid":
+                    t[k] = np.asarray(t[k], np.int32)
+                elif k == "neg":
+                    continue
+                else:
+                    t[k] = np.asarray(t[k], dt) if len(t[k]) else \
+                        np.zeros((0,) + np.shape(t[k])[1:], dt)
+
+
+# ---------------------------------------------------------------------------
+# leaf math (reference src/gmath.h analytic hits, stable quadratic forms)
+
+
+def _sphere_roots(c, r, p, d):
+    """Both crossings of |x-c|=r along p+td; [..] broadcast.  Returns
+    (t0, t1) with NaN->inf where no intersection."""
+    pp = p - c
+    s = _dot(pp, d)
+    q = _dot(pp, pp) - r * r
+    disc = s * s - q
+    ok = disc >= 0
+    root = jnp.sqrt(jnp.where(ok, disc, 0.0))
+    # stable: t0 = -s - root, t1 = -s + root, computed cancellation-free
+    ta = -s - root
+    tb = -s + root
+    t0 = jnp.where(s < 0, jnp.where(jnp.abs(tb) > 0, q / tb, ta), ta)
+    t1 = jnp.where(s > 0, jnp.where(jnp.abs(ta) > 0, q / ta, tb), tb)
+    return (jnp.where(ok, t0, INF), jnp.where(ok, t1, INF))
+
+
+def _sphere_first_hit(c, r, p, d, eps):
+    """Reference sphere_ray_hit semantics (src/gmath.h:64-85): entry root
+    when outside+approaching, exit root when inside or behind-center."""
+    pp = p - c
+    s = _dot(pp, d)
+    q = _dot(pp, pp) - r * r
+    disc = s * s - q
+    ok = disc >= 0
+    root = jnp.sqrt(jnp.where(ok, disc, 0.0))
+    entering = (s < 0) & (q > 0)
+    exiting = (s < 0) | (q < 0)
+    a = jnp.where(entering, -s - root, jnp.where(exiting, -s + root, INF))
+    return jnp.where(ok, a - eps, INF)
+
+
+def _env_gate(env_c, env_r, p, d):
+    """Envelope culling mask (envelope_s_ray_hits, reference
+    src/objects.c:90-96): True = keep."""
+    t0 = _sphere_first_hit(env_c, env_r, p, d, 0.0)
+    return (env_r <= 0) | jnp.isfinite(t0)
+
+
+def _quadric_setup(m, m0, coef, p, d):
+    """pl/dl + quadratic coefficients; m:[...,3,3], p/d:[...,3]."""
+    pl = jnp.einsum("...ij,...j->...i", m, p) + m0
+    dl = jnp.einsum("...ij,...j->...i", m, d)
+    f = jnp.sum(coef * dl * dl, -1)
+    fs = jnp.sum(coef * dl * pl, -1)
+    fq = jnp.sum(coef * pl * pl, -1)
+    return pl, dl, f, fs, fq
+
+
+def _quadric_roots(f, fs, fq, r):
+    """Both real roots of f t^2 + 2 fs t + (fq + r) = 0, INF where none.
+    Handles the degenerate linear case (f == 0)."""
+    c0 = fq + r
+    safe_f = jnp.where(f != 0, f, 1.0)
+    s = fs / safe_f
+    q = c0 / safe_f
+    disc = s * s - q
+    ok = disc >= 0
+    root = jnp.sqrt(jnp.where(ok, disc, 0.0))
+    ta = -s - root
+    tb = -s + root
+    t0 = jnp.where(s < 0, jnp.where(jnp.abs(tb) > 0, q / tb, ta), ta)
+    t1 = jnp.where(s > 0, jnp.where(jnp.abs(ta) > 0, q / ta, tb), tb)
+    t0 = jnp.where(ok, t0, INF)
+    t1 = jnp.where(ok, t1, INF)
+    # linear: t = -c0 / (2 fs)
+    safe_fs = jnp.where(fs != 0, fs, 1.0)
+    tl = jnp.where(fs != 0, -c0 / (2 * safe_fs), INF)
+    quad = f != 0
+    return (jnp.where(quad, t0, tl), jnp.where(quad, t1, INF))
+
+
+def _first_pos(t0, t1, eps):
+    """Reference squaroid root choice (src/objects.c:791-801): smaller
+    non-negative root, eps-backed."""
+    a = jnp.where(t0 >= 0, t0, jnp.where(t1 >= 0, t1, INF))
+    return jnp.where(jnp.isfinite(a), a - eps, INF)
+
+
+def _sdf_eval(kind, param, pos):
+    """Vectorized SDF (reference src/distance.c); pos [...,3]."""
+    if kind == sir.SDF_SPHERE:
+        return jnp.sqrt(jnp.sum(pos * pos, -1)) - 1.0
+    if kind == sir.SDF_TORUS:
+        x, y = pos[..., 0], pos[..., 1]
+        f = jnp.sqrt(x * x + y * y)
+        f_inv = jnp.where(f > 0, 1.0 / jnp.where(f > 0, f, 1.0), 1.0)
+        xu, yu = x * f_inv, y * f_inv
+        return jnp.sqrt((xu - x) ** 2 + (yu - y) ** 2 + pos[..., 2] ** 2) \
+            - param
+    raise ValueError(kind)
+
+
+# ---------------------------------------------------------------------------
+
+
+class Tracer:
+    """Per-scene tracer: builds the SoA tables once, exposes vectorized
+    nearest / transition / shadow queries."""
+
+    def __init__(self, ir: sir.SceneIR, dtype=jnp.float32, eps=None):
+        self.ir = ir
+        self.dtype = np.dtype(dtype)
+        self.eps = eps if eps is not None else \
+            (1e-6 if self.dtype == np.float64 else 1e-4)
+
+        self.n_obj = len(ir.objects)
+        self.is_light = np.array([o.is_light for o in ir.objects], bool)
+        self.roughness = np.array([o.roughness for o in ir.objects],
+                                  self.dtype)
+
+        tb = _Tables(self.dtype)
+        for oid, obj in enumerate(ir.objects):
+            tb.add(obj, oid)
+        tb.finalize()
+        self.tb = tb
+
+        # jitted entry points for direct (non-integrator) use; the
+        # integrator calls the raw methods inside its own jit instead
+        self.nearest_jit = jax.jit(
+            lambda p, d: self.nearest(p, d, matter_only=False))
+        self.nearest_matter_jit = jax.jit(
+            lambda p, d: self.nearest(p, d, matter_only=True))
+        self.trans_hit_jit = jax.jit(self.trans_hit)
+        self.shadow_t_jit = jax.jit(self.shadow_t)
+
+    # -- single-leaf family hits ------------------------------------------
+
+    def _hit_spheres(self, p, d, matter_only):
+        """[R] rays vs the sphere table, chunked running min.
+        Returns (t[R], sign[R] of nor.d, idx[R] into table)."""
+        t = self.tb.sph
+        S = len(t["oid"])
+        if S == 0:
+            R = p.shape[0]
+            z = jnp.full((R,), INF, self.dtype)
+            return z, jnp.zeros((R,), self.dtype), jnp.zeros((R,), jnp.int32)
+        c = jnp.asarray(t["c"]); r = jnp.asarray(t["r"])
+        ec = jnp.asarray(t["env_c"]); er = jnp.asarray(t["env_r"])
+        light = jnp.asarray(self.is_light[t["oid"]])
+
+        def chunk_hit(c_k, r_k, ec_k, er_k, light_k):
+            # [R, K]
+            a = _sphere_first_hit(c_k[None, :, :], r_k[None, :],
+                                  p[:, None, :], d[:, None, :], self.eps)
+            gate = _env_gate(ec_k[None, :, :], er_k[None, :],
+                             p[:, None, :], d[:, None, :])
+            a = jnp.where(gate, a, INF)
+            if matter_only:
+                a = jnp.where(light_k[None, :], INF, a)
+            k = jnp.argmin(a, axis=1)
+            return jnp.min(a, axis=1), k
+
+        if S <= SPHERE_CHUNK:
+            t_min, k = chunk_hit(c, r, ec, er, light)
+            idx = k.astype(jnp.int32)
+        else:
+            # pad to multiple, scan chunks with running min
+            pad = (-S) % SPHERE_CHUNK
+            cp = jnp.concatenate([c, jnp.zeros((pad, 3), self.dtype)])
+            rp = jnp.concatenate([r, jnp.full((pad,), -1.0, self.dtype)])
+            ecp = jnp.concatenate([ec, jnp.zeros((pad, 3), self.dtype)])
+            erp = jnp.concatenate([er, jnp.full((pad,), -1.0, self.dtype)])
+            lp = jnp.concatenate([light, jnp.ones((pad,), bool)])
+            nch = (S + pad) // SPHERE_CHUNK
+            cs = cp.reshape(nch, SPHERE_CHUNK, 3)
+            rs = rp.reshape(nch, SPHERE_CHUNK)
+            ecs = ecp.reshape(nch, SPHERE_CHUNK, 3)
+            ers = erp.reshape(nch, SPHERE_CHUNK)
+            ls = lp.reshape(nch, SPHERE_CHUNK)
+
+            def body(carry, xs):
+                best_t, best_i, base = carry
+                ck, rk, eck, erk, lk = xs
+                a = _sphere_first_hit(ck[None, :, :], rk[None, :],
+                                      p[:, None, :], d[:, None, :], self.eps)
+                a = jnp.where(rk[None, :] <= 0, INF, a)
+                gate = _env_gate(eck[None, :, :], erk[None, :],
+                                 p[:, None, :], d[:, None, :])
+                a = jnp.where(gate, a, INF)
+                if matter_only:
+                    a = jnp.where(lk[None, :], INF, a)
+                tk = jnp.min(a, axis=1)
+                ik = jnp.argmin(a, axis=1).astype(jnp.int32) + base
+                better = tk < best_t
+                return (jnp.where(better, tk, best_t),
+                        jnp.where(better, ik, best_i),
+                        base + SPHERE_CHUNK), None
+
+            R = p.shape[0]
+            init = (jnp.full((R,), INF, self.dtype),
+                    jnp.zeros((R,), jnp.int32), jnp.int32(0))
+            (t_min, idx, _), _ = jax.lax.scan(body, init, (cs, rs, ecs, ers, ls))
+
+        # sign of nor.d at hit: nor ~ (pp + d a) => nor.d ~ s + a
+        cg = c[idx]
+        s = _dot(p - cg, d)
+        sign = jnp.where(s + t_min > 0, 1.0, -1.0).astype(self.dtype)
+        return t_min, sign, idx
+
+    def _hit_planes(self, p, d, matter_only):
+        t = self.tb.pla
+        P = len(t["oid"])
+        R = p.shape[0]
+        if P == 0:
+            z = jnp.full((R, 0), INF, self.dtype)
+            return z, jnp.zeros((R, 0), self.dtype)
+        n = jnp.asarray(t["n"]); k = jnp.asarray(t["k"])
+        div = jnp.einsum("rj,pj->rp", d, n)
+        num = -(jnp.einsum("rj,pj->rp", p, n) + k[None, :])
+        offs = num / jnp.where(div != 0, div, 1.0)
+        a = jnp.where((div != 0) & (offs > 0), offs - self.eps, INF)
+        gate = _env_gate(jnp.asarray(t["env_c"])[None, :, :],
+                         jnp.asarray(t["env_r"])[None, :],
+                         p[:, None, :], d[:, None, :])
+        a = jnp.where(gate, a, INF)
+        if matter_only:
+            light = jnp.asarray(self.is_light[t["oid"]])
+            a = jnp.where(light[None, :], INF, a)
+        sign = jnp.where(div > 0, 1.0, -1.0).astype(self.dtype)
+        return a, sign
+
+    def _hit_quadrics(self, p, d, matter_only):
+        t = self.tb.qua
+        Q = len(t["oid"])
+        R = p.shape[0]
+        if Q == 0:
+            z = jnp.full((R, 0), INF, self.dtype)
+            return z, jnp.zeros((R, 0), self.dtype)
+        m = jnp.asarray(t["m"]); m0 = jnp.asarray(t["m0"])
+        coef = jnp.asarray(t["coef"]); r = jnp.asarray(t["r"])
+        pl, dl, f, fs, fq = _quadric_setup(
+            m[None], m0[None], coef[None], p[:, None, :], d[:, None, :])
+        t0, t1 = _quadric_roots(f, fs, fq, r[None, :])
+        a = _first_pos(t0, t1, self.eps)
+        gate = _env_gate(jnp.asarray(t["env_c"])[None, :, :],
+                         jnp.asarray(t["env_r"])[None, :],
+                         p[:, None, :], d[:, None, :])
+        a = jnp.where(gate, a, INF)
+        if matter_only:
+            light = jnp.asarray(self.is_light[t["oid"]])
+            a = jnp.where(light[None, :], INF, a)
+        # sign of nor.d: grad = 2 M^T (coef*x') with x' = pl + a dl;
+        # nor.d sign = sign((coef*x').dl)
+        a_safe = jnp.where(jnp.isfinite(a), a, 0.0)
+        x = pl + a_safe[..., None] * dl
+        sgn = jnp.sum(coef[None] * x * dl, -1)
+        sign = jnp.where(sgn > 0, 1.0, -1.0).astype(self.dtype)
+        return a, sign
+
+    def _hit_sdf_leaf(self, lf: sir.Leaf, env_c, env_r, p, d):
+        """Bounded bidirectional sphere march in the leaf's local frame
+        (reference src/objects.c:903-959)."""
+        dt = self.dtype
+        R = p.shape[0]
+        m = jnp.asarray(lf.m.astype(dt)); m0 = jnp.asarray(lf.m0.astype(dt))
+        # envelope-clipped entry (world space)
+        if env_r > 0:
+            ec = jnp.asarray(env_c.astype(dt))
+            outside = _dot(p - ec, p - ec) > env_r * env_r
+            t_env = _sphere_first_hit(ec, jnp.asarray(dt.type(env_r)), p, d,
+                                      0.0)
+            dead = outside & ~jnp.isfinite(t_env)
+            offs0 = jnp.where(outside & jnp.isfinite(t_env), t_env, 0.0)
+        else:
+            dead = jnp.zeros((R,), bool)
+            offs0 = jnp.zeros((R,), dt)
+        p0 = p + d * offs0[:, None]
+        pl = jnp.einsum("ij,rj->ri", m, p0) + m0
+        dl0 = jnp.einsum("ij,rj->ri", m, d)
+        dn = jnp.sqrt(jnp.sum(dl0 * dl0, -1))
+        dl = dl0 / jnp.where(dn > 0, dn, 1.0)[:, None]
+
+        eps = self.eps
+        dist0 = _sdf_eval(lf.sdf_kind, lf.sdf_param, pl)
+        forward = dist0 > 0
+
+        def body(carry):
+            i, offs1, dist, active = carry
+            step = jnp.where(forward, dist + eps, -(dist - eps))
+            offs1 = jnp.where(active, offs1 + step, offs1)
+            dnew = _sdf_eval(lf.sdf_kind, lf.sdf_param,
+                             pl + dl * offs1[:, None])
+            dist = jnp.where(active, dnew, dist)
+            crossed = jnp.where(forward, (dist < 0) | (dist > 1e30),
+                                (dist > 0) | (dist < -1e30))
+            return i + 1, offs1, dist, active & ~crossed
+
+        def cond(carry):
+            i, _, _, active = carry
+            return (i < lf.cycles) & jnp.any(active)
+
+        _, offs1, dist, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.zeros((R,), dt), dist0, ~dead))
+
+        hit = (~dead) & (jnp.abs(dist) <= eps)
+        q = pl + dl * offs1[:, None]
+        d0 = _sdf_eval(lf.sdf_kind, lf.sdf_param, q)
+        ex = jnp.asarray(np.eye(3, dtype=dt))
+        grad = jnp.stack([
+            (_sdf_eval(lf.sdf_kind, lf.sdf_param, q + ex[i] * eps) - d0) / eps
+            for i in range(3)], axis=-1)
+        nw = jnp.einsum("ri,ij->rj", grad, m)
+        nor = _norm3(nw)
+        if lf.neg:
+            nor = -nor
+        a = jnp.where(hit, offs0 + offs1 / jnp.where(dn > 0, dn, 1.0)
+                      - self.eps, INF)
+        return a, nor
+
+    # -- composite objects -------------------------------------------------
+
+    def _leaf_inside(self, lf: sir.Leaf, x):
+        """inside predicate (side == -1) of one leaf at points x [R,3]."""
+        if lf.family == sir.PLANE:
+            n = jnp.asarray(lf.n.astype(self.dtype))
+            return _dot(x, n) + self.dtype.type(lf.k) <= 0
+        if lf.family == sir.SPHERE:
+            c = jnp.asarray(lf.c.astype(self.dtype))
+            return _dot(x - c, x - c) <= self.dtype.type(lf.r * lf.r)
+        if lf.family == sir.QUADRIC:
+            m = jnp.asarray(lf.m.astype(self.dtype))
+            m0 = jnp.asarray(lf.m0.astype(self.dtype))
+            coef = jnp.asarray(lf.coef.astype(self.dtype))
+            xl = jnp.einsum("ij,rj->ri", m, x) + m0
+            return jnp.sum(coef * xl * xl, -1) + self.dtype.type(lf.r) <= 0
+        if lf.family == sir.SDF:
+            m = jnp.asarray(lf.m.astype(self.dtype))
+            m0 = jnp.asarray(lf.m0.astype(self.dtype))
+            xl = jnp.einsum("ij,rj->ri", m, x) + m0
+            return _sdf_eval(lf.sdf_kind, lf.sdf_param, xl) <= 0
+        raise ValueError(lf.family)
+
+    def _tree_inside(self, obj: sir.ObjIR, x):
+        """Composite inside predicate: static unroll of the tree program."""
+        leaf_vals = [None] * len(obj.leaves)
+
+        def ev(node):
+            if node[0] == "leaf":
+                i = node[1]
+                if leaf_vals[i] is None:
+                    leaf_vals[i] = self._leaf_inside(obj.leaves[i], x)
+                return leaf_vals[i]
+            if node[0] == "and":
+                return ev(node[1]) & ev(node[2])
+            if node[0] == "or":
+                return ev(node[1]) | ev(node[2])
+            if node[0] == "not":
+                return ~ev(node[1])
+            raise ValueError(node)
+
+        return ev(obj.tree)
+
+    def _leaf_crossings(self, lf: sir.Leaf, p, d):
+        """All surface crossings of one leaf along p+td, as a [R, k] array
+        (k in {1, 2}); non-crossings are INF."""
+        if lf.family == sir.PLANE:
+            n = jnp.asarray(lf.n.astype(self.dtype))
+            div = _dot(d, n)
+            num = -(_dot(p, n) + self.dtype.type(lf.k))
+            t = jnp.where(div != 0, num / jnp.where(div != 0, div, 1.0), INF)
+            return t[:, None]
+        if lf.family == sir.SPHERE:
+            c = jnp.asarray(lf.c.astype(self.dtype))
+            t0, t1 = _sphere_roots(c, self.dtype.type(lf.r), p, d)
+            return jnp.stack([t0, t1], axis=-1)
+        if lf.family == sir.QUADRIC:
+            m = jnp.asarray(lf.m.astype(self.dtype))
+            m0 = jnp.asarray(lf.m0.astype(self.dtype))
+            coef = jnp.asarray(lf.coef.astype(self.dtype))
+            pl, dl, f, fs, fq = _quadric_setup(m, m0, coef, p, d)
+            t0, t1 = _quadric_roots(f, fs, fq, self.dtype.type(lf.r))
+            return jnp.stack([t0, t1], axis=-1)
+        if lf.family == sir.SDF:
+            raise NotImplementedError(
+                "SDF leaves inside CSG composites are not supported yet")
+        raise ValueError(lf.family)
+
+    def _leaf_normal(self, lf: sir.Leaf, x):
+        """Geometric normal of a leaf at surface points x [R,3], with the
+        Neg-ancestor flip baked in."""
+        if lf.family == sir.PLANE:
+            n = jnp.asarray(lf.n.astype(self.dtype))
+            out = jnp.broadcast_to(n, x.shape)
+        elif lf.family == sir.SPHERE:
+            c = jnp.asarray(lf.c.astype(self.dtype))
+            out = _norm3(x - c)
+        elif lf.family == sir.QUADRIC:
+            m = jnp.asarray(lf.m.astype(self.dtype))
+            m0 = jnp.asarray(lf.m0.astype(self.dtype))
+            coef = jnp.asarray(lf.coef.astype(self.dtype))
+            xl = jnp.einsum("ij,rj->ri", m, x) + m0
+            out = _norm3(jnp.einsum("ri,ij->rj", coef * xl, m))
+        else:
+            raise ValueError(lf.family)
+        return -out if lf.neg else out
+
+    def _hit_composite(self, obj: sir.ObjIR, p, d):
+        """Crossing walk: scan leaf crossings in t-order until the composite
+        inside predicate flips.  Returns (t[R] eps-backed, nor[R,3])."""
+        R = p.shape[0]
+        dt = self.dtype
+        crossings = jnp.concatenate(
+            [self._leaf_crossings(lf, p, d) for lf in obj.leaves], axis=-1)
+        leaf_of_col = []
+        for li, lf in enumerate(obj.leaves):
+            k = 1 if lf.family == sir.PLANE else 2
+            leaf_of_col += [li] * k
+        leaf_of_col = jnp.asarray(np.array(leaf_of_col, np.int32))
+        NC = crossings.shape[-1]
+        # only forward crossings count
+        crossings = jnp.where(crossings > 0, crossings, INF)
+        step_eps = dt.type(self.eps)
+
+        s0 = self._tree_inside(obj, p)
+
+        def cond(carry):
+            i, t_cur, s_cur, active, hit_t, hit_leaf = carry
+            return (i < NC) & jnp.any(active)
+
+        def body(carry):
+            i, t_cur, s_cur, active, hit_t, hit_leaf = carry
+            cand = jnp.where(crossings > t_cur[:, None], crossings, INF)
+            col = jnp.argmin(cand, axis=-1)
+            t_next = jnp.min(cand, axis=-1)
+            alive = active & jnp.isfinite(t_next)
+            x = p + d * (t_next + step_eps)[:, None]
+            s_new = self._tree_inside(obj, x)
+            flip = alive & (s_new != s_cur)
+            hit_t = jnp.where(flip, t_next, hit_t)
+            hit_leaf = jnp.where(flip, leaf_of_col[col], hit_leaf)
+            t_cur = jnp.where(alive, t_next, t_cur)
+            s_cur = jnp.where(alive, s_new, s_cur)
+            active = alive & ~flip
+            return i + 1, t_cur, s_cur, active, hit_t, hit_leaf
+
+        init = (jnp.int32(0), jnp.zeros((R,), dt), s0,
+                jnp.ones((R,), bool), jnp.full((R,), INF, dt),
+                jnp.full((R,), -1, jnp.int32))
+        _, _, _, _, hit_t, hit_leaf = jax.lax.while_loop(cond, body, init)
+
+        # envelope culling (object-level)
+        if obj.env_c is not None and obj.env_r > 0:
+            gate = _env_gate(jnp.asarray(obj.env_c.astype(dt)),
+                             dt.type(obj.env_r), p, d)
+            hit_t = jnp.where(gate, hit_t, INF)
+
+        # normal of the winning leaf
+        hx = p + d * jnp.where(jnp.isfinite(hit_t), hit_t, 0.0)[:, None]
+        nor = jnp.zeros((R, 3), dt)
+        for li, lf in enumerate(obj.leaves):
+            mask = hit_leaf == li
+            nl = self._leaf_normal(lf, hx)
+            nor = jnp.where(mask[:, None], nl, nor)
+        return jnp.where(jnp.isfinite(hit_t), hit_t - self.eps, INF), nor
+
+    # -- public queries ----------------------------------------------------
+
+    def nearest(self, p, d, matter_only=False, with_normal=True,
+                rng_rough=True):
+        """Nearest hit over the whole scene.
+        Returns (t[R], nor[R,3], oid[R]; oid=-1 where miss)."""
+        dt = self.dtype
+        p = jnp.asarray(p, dt)
+        d = jnp.asarray(d, dt)
+        R = p.shape[0]
+
+        ts, signs, nors, oids = [], [], [], []
+
+        t_s, sign_s, idx_s = self._hit_spheres(p, d, matter_only)
+        ts.append(t_s); signs.append(sign_s)
+        oid_s = jnp.asarray(self.tb.sph["oid"])[idx_s] \
+            if len(self.tb.sph["oid"]) else jnp.zeros((R,), jnp.int32)
+        # sphere normal (from table gather)
+        if len(self.tb.sph["oid"]):
+            cg = jnp.asarray(self.tb.sph["c"])[idx_s]
+            t_safe = jnp.where(jnp.isfinite(t_s), t_s, 0.0)
+            nor_s = _norm3(p + d * t_safe[:, None] - cg)
+        else:
+            nor_s = jnp.zeros((R, 3), dt)
+        nors.append(nor_s); oids.append(oid_s)
+
+        a_p, sign_p = self._hit_planes(p, d, matter_only)
+        if a_p.shape[1]:
+            k = jnp.argmin(a_p, axis=1)
+            t_p = jnp.min(a_p, axis=1)
+            n_tab = jnp.asarray(self.tb.pla["n"])
+            ts.append(t_p); signs.append(jnp.take_along_axis(
+                sign_p, k[:, None], 1)[:, 0])
+            nors.append(n_tab[k])
+            oids.append(jnp.asarray(self.tb.pla["oid"])[k])
+
+        a_q, sign_q = self._hit_quadrics(p, d, matter_only)
+        if a_q.shape[1]:
+            k = jnp.argmin(a_q, axis=1)
+            t_q = jnp.min(a_q, axis=1)
+            m = jnp.asarray(self.tb.qua["m"])[k]
+            m0 = jnp.asarray(self.tb.qua["m0"])[k]
+            coef = jnp.asarray(self.tb.qua["coef"])[k]
+            t_safe = jnp.where(jnp.isfinite(t_q), t_q, 0.0)
+            x = p + d * t_safe[:, None]
+            xl = jnp.einsum("rij,rj->ri", m, x) + m0
+            nq = _norm3(jnp.einsum("ri,rij->rj", coef * xl, m))
+            ts.append(t_q); signs.append(jnp.take_along_axis(
+                sign_q, k[:, None], 1)[:, 0])
+            nors.append(nq)
+            oids.append(jnp.asarray(self.tb.qua["oid"])[k])
+
+        for lf, oid, env_c, env_r in self.tb.sdf:
+            if matter_only and self.is_light[oid]:
+                continue
+            a, nor = self._hit_sdf_leaf(lf, env_c, env_r, p, d)
+            ts.append(a)
+            signs.append(jnp.where(_dot(nor, d) > 0, 1.0, -1.0).astype(dt))
+            nors.append(nor)
+            oids.append(jnp.full((R,), oid, jnp.int32))
+
+        for obj, oid in self.tb.composites:
+            if matter_only and self.is_light[oid]:
+                continue
+            a, nor = self._hit_composite(obj, p, d)
+            ts.append(a)
+            signs.append(jnp.where(_dot(nor, d) > 0, 1.0, -1.0).astype(dt))
+            nors.append(nor)
+            oids.append(jnp.full((R,), oid, jnp.int32))
+
+        T = jnp.stack(ts, axis=-1)            # [R, G]
+        win = jnp.argmin(T, axis=-1)
+        t_min = jnp.min(T, axis=-1)
+        nor = jnp.zeros((R, 3), dt)
+        oid = jnp.full((R,), -1, jnp.int32)
+        sign = jnp.zeros((R,), dt)
+        for g in range(T.shape[-1]):
+            mask = (win == g) & jnp.isfinite(t_min)
+            nor = jnp.where(mask[:, None], nors[g], nor)
+            oid = jnp.where(mask, oids[g], oid)
+            sign = jnp.where(mask, signs[g], sign)
+
+        if rng_rough and np.any(self.roughness > 0):
+            nor = self._perturb(nor, p, d, t_min, oid)
+
+        return t_min, nor, oid, sign
+
+    def _perturb(self, nor, p, d, t, oid):
+        """Surface-roughness normal perturbation (reference
+        src/objects.c:261-284): per-component log-shaped bump seeded from
+        the hit position."""
+        from actinon_tpu import rng as argn
+        rough = jnp.asarray(self.roughness)[jnp.maximum(oid, 0)]
+        t_safe = jnp.where(jnp.isfinite(t), t, 0.0)
+        hp = p + d * t_safe[:, None]
+        seed = argn.seed_from_v3(hp, 1246)
+        f = jnp.stack([argn.uniform_signed(seed, k, self.dtype) * 0.99
+                       for k in range(3)], axis=-1)
+        bump = jnp.log((1.0 - f) / (1.0 + f))
+        new = _norm3(nor + rough[:, None] * bump)
+        use = (rough > 0)[:, None] & jnp.isfinite(t)[:, None]
+        return jnp.where(use, new, nor)
+
+    # -- transition query (media boundaries) -------------------------------
+
+    def trans_hit(self, p, d):
+        """scene_s_trans_hit + compound_s_ray_trans_hit semantics
+        (reference src/scene.c:362-382, src/compound.c:246-299):
+        nearest hit over light+matter with coincident-surface resolution.
+        Returns (t, exit_nor [anti-ray], enter_oid, exit_oid)."""
+        t, nor, oid, sign = self.nearest(p, d, matter_only=False)
+        exiting = sign > 0
+        exit_nor = jnp.where(exiting[:, None], nor, -nor)
+        enter = jnp.where(~exiting & (oid >= 0), oid, -1)
+        exit_ = jnp.where(exiting & (oid >= 0), oid, -1)
+
+        # coincident-surface merge within f3_eps: a second object whose hit
+        # lies within eps of the minimum fills the other role (the
+        # glass/wine media-transition case).  We re-scan groups cheaply by
+        # reusing nearest() per-group arrays; for simplicity run a second
+        # nearest with the winning object's hits masked out and check
+        # eps-closeness.
+        t2, nor2, oid2, sign2 = self._second_nearest(p, d, oid, t)
+        close = jnp.isfinite(t) & jnp.isfinite(t2) & (jnp.abs(t2 - t)
+                                                      < 2 * self.eps)
+        exiting2 = sign2 > 0
+        enter = jnp.where(close & ~exiting2 & (enter < 0), oid2, enter)
+        exit_ = jnp.where(close & exiting2 & (exit_ < 0), oid2, exit_)
+        return t, exit_nor, enter, exit_
+
+    def _second_nearest(self, p, d, exclude_oid, t_min):
+        """Nearest hit excluding one object id: restart the rays just past
+        the first hit (cheap approximation sufficient for eps-coincident
+        surface detection)."""
+        t_safe = jnp.where(jnp.isfinite(t_min), t_min, 0.0)
+        p2 = p + d * (t_safe + 2 * self.eps)[:, None]
+        t2, nor2, oid2, sign2 = self.nearest(p2, d, matter_only=False,
+                                             rng_rough=False)
+        t2 = t_safe + 2 * self.eps + t2
+        # if the re-hit is the same object, it's not a coincident partner
+        same = oid2 == exclude_oid
+        t2 = jnp.where(same, INF, t2)
+        return t2, nor2, oid2, sign2
+
+    def shadow_t(self, p, d):
+        """Nearest matter hit distance (the NEE shadow test uses
+        compound_s_ray_hit(matter) > a, reference src/scene.c:571)."""
+        t, _, _, _ = self.nearest(p, d, matter_only=True, rng_rough=True)
+        return t

@@ -3,11 +3,19 @@
 Tests run on CPU with a virtual 8-device mesh and x64 enabled so the host
 numerics match the reference's f64 math (reference src/vectors.h:30-33);
 sharding logic is exercised without TPU hardware (SURVEY.md section 4).
+
+IMPORTANT: this image's sitecustomize imports jax at interpreter startup
+with JAX_PLATFORMS=axon (the TPU tunnel), so setting the env var here is
+too late — the backend must be forced via jax.config.update, which works
+post-import.  Without this, "CPU" tests silently run over the TPU tunnel
+and hang whenever the tunnel is busy.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# harmless for subprocesses that haven't imported jax yet
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,4 +23,5 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
