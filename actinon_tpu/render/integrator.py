@@ -1,0 +1,620 @@
+"""Wavefront light-transport integrator.
+
+The reference integrator scene_s_lum (reference src/scene.c:420-667) is a
+recursive function: at each hit it may recurse into a Fresnel-reflection
+branch, a chromatic (metallic) branch, per-light next-event-estimation
+sampling, hemisphere path samples (cost: 10 depth units), and a refraction
+branch, threading a scalar `intensity` down and multiplying RGB tints on
+the way up.  Recursion does not vectorize; here it is flattened into a
+**wavefront**: rays are queue entries carrying
+
+    (p, d, intensity, tint_rgb, depth, sample_id)
+
+and one jitted *step* processes a whole batch: trace -> classify ->
+accumulate local contributions (emitter / background / NEE direct light)
+-> emit child rays for the specular branches and path samples.  The host
+drains two queues (normal rays trace light+matter; path rays trace matter
+only and clamp at max_path_length, reference src/scene.c:596-617) until
+empty.  All reference semantics are reproduced exactly:
+
+  * depth budget: specular/refraction cost 1, path costs 10 and is gated
+    on depth > 10 (reference src/scene.c:584)
+  * intensity-scaled sample counts: direct/path sample counts are
+    floor(samples * intensity * diffuse) min 1 per ray, realized as a
+    static-size loop with per-ray masks (reference src/scene.c:553-554)
+  * the estimator factors 2*cap_height/n and 2/n
+  * exit-transition override (fresnel=1, diffuse=chromatic=0 when leaving
+    a medium, reference src/scene.c:464-470), Beer-Lambert absorption
+    transparency^distance (reference src/scene.c:656-664)
+  * Oren-Nayar weighting (reference src/scene.c:394-416)
+  * per-surface-point deterministic RNG (position-hashed streams,
+    reference src/scene.c:537; counter-based here, see rng.py)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from actinon_tpu import rng as argn
+from actinon_tpu.scene import ir as sir
+from actinon_tpu.render.tracer import Tracer, _norm3, _dot
+
+INF = jnp.inf
+F3_MAG = 1e30
+
+
+@dataclasses.dataclass
+class RayQueue:
+    """Host-side struct-of-arrays ray queue."""
+
+    p: np.ndarray
+    d: np.ndarray
+    intensity: np.ndarray
+    tint: np.ndarray
+    depth: np.ndarray
+    sample_id: np.ndarray
+
+    @staticmethod
+    def empty(dtype):
+        return RayQueue(np.zeros((0, 3), dtype), np.zeros((0, 3), dtype),
+                        np.zeros((0,), dtype), np.zeros((0, 3), dtype),
+                        np.zeros((0,), np.int32), np.zeros((0,), np.int32))
+
+    def __len__(self):
+        return len(self.intensity)
+
+    def append(self, other: "RayQueue"):
+        for f in dataclasses.fields(self):
+            k = f.name
+            setattr(self, k, np.concatenate([getattr(self, k),
+                                             getattr(other, k)]))
+
+    def pop(self, n: int) -> "RayQueue":
+        out = RayQueue(*[getattr(self, f.name)[:n]
+                         for f in dataclasses.fields(self)])
+        for f in dataclasses.fields(self):
+            k = f.name
+            setattr(self, k, getattr(self, k)[n:])
+        return out
+
+    def padded(self, n: int, dtype) -> "RayQueue":
+        """Pad to length n with dead rays (intensity 0, depth 0)."""
+        m = len(self)
+        if m == n:
+            return self
+        pad = n - m
+        return RayQueue(
+            np.concatenate([self.p, np.zeros((pad, 3), dtype)]),
+            np.concatenate([self.d, np.tile(np.array([[0, 0, 1]], dtype),
+                                            (pad, 1))]),
+            np.concatenate([self.intensity, np.zeros(pad, dtype)]),
+            np.concatenate([self.tint, np.zeros((pad, 3), dtype)]),
+            np.concatenate([self.depth, np.zeros(pad, np.int32)]),
+            np.concatenate([self.sample_id, np.zeros(pad, np.int32)]))
+
+
+class Integrator:
+    def __init__(self, tracer: Tracer, batch: int = 1 << 14):
+        self.tr = tracer
+        self.ir = tracer.ir
+        self.cfg = tracer.ir.cfg
+        self.dtype = tracer.dtype
+        self.batch = batch
+
+        ir = self.ir
+        dt = self.dtype
+
+        # object material tables [O]
+        O = len(ir.objects)
+        g = lambda f: np.array([getattr(o, f) for o in ir.objects], dt)
+        g3 = lambda f: np.stack([np.asarray(getattr(o, f), dt)
+                                 for o in ir.objects])
+        self.m_color = g3("color")
+        self.m_radiance = g("radiance")
+        self.m_rix = g("refractive_index")
+        self.m_fresnel = g("fresnel")
+        self.m_chromatic = g("chromatic")
+        self.m_diffuse = g("diffuse")
+        self.m_sigma = g("sigma")
+        self.m_transp = g3("transparency")
+        self.m_pos = g3("pos")
+        self.m_texk = np.array([o.tex_kind for o in ir.objects], np.int32)
+        self.m_tex1 = np.stack([
+            np.asarray(o.tex_c1, dt) if o.tex_c1 is not None
+            else np.zeros(3, dt) for o in ir.objects])
+        self.m_tex2 = np.stack([
+            np.asarray(o.tex_c2, dt) if o.tex_c2 is not None
+            else np.zeros(3, dt) for o in ir.objects])
+        self.m_texs = g("tex_scale")
+        self.m_projk = np.array([o.proj_kind for o in ir.objects], np.int32)
+        self.m_projp = np.stack([
+            np.asarray(o.proj_pos, dt) if o.proj_pos is not None
+            else np.zeros(3, dt) for o in ir.objects])
+        self.m_projr = np.stack([
+            np.asarray(o.proj_rax, dt) if o.proj_rax is not None
+            else np.eye(3, dtype=dt) for o in ir.objects])
+
+        # light tables [L]
+        L = len(ir.lights)
+        self.n_lights = L
+        lo = [ir.objects[i] for i in ir.lights]
+        self.l_pos = np.stack([np.asarray(o.pos, dt) for o in lo]) \
+            if L else np.zeros((0, 3), dt)
+        self.l_rad = np.array([o.radiance for o in lo], dt)
+        self.l_radius = np.array([o.light_radius for o in lo], dt)
+        # light color at its own center (obj_color(light, prp.pos),
+        # reference src/scene.c:552)
+        self.l_color = np.stack([
+            np.asarray(o.tex_c1 if o.tex_kind == sir.TEX_PLAIN else o.color,
+                       dt) for o in lo]) if L else np.zeros((0, 3), dt)
+
+        self.direct_cap = max(int(self.cfg.direct_samples), 1)
+        self.path_cap = max(int(self.cfg.path_samples), 0)
+        self.tmi = dt.type(self.cfg.trace_min_intensity)
+        self.background = np.asarray(ir.background, dt)
+        self.max_path_length = dt.type(self.cfg.max_path_length)
+
+        self._step_normal = jax.jit(lambda q: self._step(q, path_ray=False))
+        self._step_path = jax.jit(lambda q: self._step(q, path_ray=True))
+
+    # ------------------------------------------------------------------
+
+    def _albedo(self, oid, pos):
+        """obj_color with texture dispatch (reference src/objects.c:411-422,
+        src/textures.c)."""
+        oid_s = jnp.maximum(oid, 0)
+        base = jnp.asarray(self.m_color)[oid_s]
+        texk = jnp.asarray(self.m_texk)[oid_s]
+        tex1 = jnp.asarray(self.m_tex1)[oid_s]
+        tex2 = jnp.asarray(self.m_tex2)[oid_s]
+        texs = jnp.asarray(self.m_texs)[oid_s]
+        projk = jnp.asarray(self.m_projk)[oid_s]
+        projp = jnp.asarray(self.m_projp)[oid_s]
+        projr = jnp.asarray(self.m_projr)[oid_s]
+
+        # plane projection (reference src/objects.c:514-518)
+        rel = pos - projp
+        u_pl = _dot(rel, projr[:, 0, :])
+        v_pl = _dot(rel, projr[:, 1, :])
+        # sphere projection (azimuth/elevation, reference
+        # src/objects.c:602-617)
+        r = _norm3(rel)
+        sx = _dot(r, projr[:, 0, :])
+        sy = _dot(r, jnp.cross(projr[:, 2, :], projr[:, 0, :]))
+        sz = jnp.clip(_dot(r, projr[:, 2, :]), -1.0, 1.0)
+        u_sp = jnp.arctan2(sx, sy)
+        v_sp = jnp.arcsin(sz)
+
+        u = jnp.where(projk == sir.PROJ_SPHERE, u_sp, u_pl)
+        v = jnp.where(projk == sir.PROJ_SPHERE, v_sp, v_pl)
+        xi = jnp.round(u * texs).astype(jnp.int32)
+        yi = jnp.round(v * texs).astype(jnp.int32)
+        chess = jnp.where((((xi ^ yi) & 1) == 1)[:, None], tex1, tex2)
+
+        out = jnp.where((texk == sir.TEX_PLAIN)[:, None], tex1, base)
+        out = jnp.where((texk == sir.TEX_CHESS)[:, None], chess, out)
+        return out
+
+    def _fresnel_reflectance(self, d, exit_nor, trix):
+        """fresnel_reflection (reference src/gmath.c:68-91).  exit_nor
+        points along the ray (into the surface), so c > 0 and f = 1/trix."""
+        c = _dot(d, exit_nor)
+        f = jnp.where(c < 0, trix, 1.0 / jnp.where(trix != 0, trix, 1.0))
+        cos_ai = jnp.minimum(jnp.abs(c), 1.0)
+        sin_ai = jnp.sqrt(1.0 - cos_ai * cos_ai)
+        sin_at = sin_ai * f
+        total = sin_at >= 1.0
+        cos_at = jnp.sqrt(jnp.maximum(1.0 - sin_at * sin_at, 0.0))
+        rs = ((f * cos_ai - cos_at) / (f * cos_ai + cos_at)) ** 2
+        rp = ((f * cos_at - cos_ai) / (f * cos_at + cos_ai)) ** 2
+        return jnp.where(total, 1.0, (rs + rp) * 0.5)
+
+    def _refract_dir(self, d, exit_nor, trix):
+        """fresnel_refraction (reference src/gmath.c:94-113)."""
+        c = _dot(d, exit_nor)
+        f = jnp.where(c < 0, trix, 1.0 / jnp.where(trix != 0, trix, 1.0))
+        q = f * f * (1.0 - c * c)
+        sq = jnp.sqrt(jnp.maximum(1.0 - q, 0.0))
+        b = -f * c + jnp.where(c > 0, sq, -sq)
+        out = d * f[:, None] + exit_nor * b[:, None]
+        return jnp.where((q < 1.0)[:, None], out, d)
+
+    # ------------------------------------------------------------------
+
+    def _step(self, q: Dict, path_ray: bool):
+        """One wavefront step over a padded batch.  Returns
+        (sample_id, contrib[B,3], children dict)."""
+        dt = self.dtype
+        p, d = q["p"], q["d"]
+        intensity, tint = q["intensity"], q["tint"]
+        depth, sid = q["depth"], q["sample_id"]
+        B = p.shape[0]
+        alive = intensity > 0
+
+        bg = jnp.asarray(self.background)
+
+        if path_ray:
+            t, exit_nor, enter, exit_ = self.tr.trans_hit_matter(p, d)
+            # miss OR beyond max_path_length -> background
+            # (reference src/scene.c:608-616)
+            hit_ok = jnp.isfinite(t) & (t < self.max_path_length)
+        else:
+            t, exit_nor, enter, exit_ = self.tr.trans_hit(p, d)
+            hit_ok = jnp.isfinite(t)
+
+        contrib = jnp.zeros((B, 3), dt)
+        miss = alive & ~hit_ok
+        contrib += jnp.where(miss[:, None],
+                             bg[None, :] * intensity[:, None] * tint, 0.0)
+
+        # shading gate: reference returns black at depth==0 or
+        # intensity < tmi (reference src/scene.c:428)
+        shade = alive & hit_ok & (depth > 0) & (intensity >= self.tmi)
+
+        t_safe = jnp.where(jnp.isfinite(t), t, 0.0)
+        pos = p + d * t_safe[:, None]
+
+        enter_s = jnp.maximum(enter, 0)
+        exit_s = jnp.maximum(exit_, 0)
+        has_enter = enter >= 0
+        has_exit = exit_ >= 0
+
+        # emitter hit (reference src/scene.c:432-437)
+        e_rad = jnp.asarray(self.m_radiance)[enter_s] * has_enter
+        is_emit = shade & (e_rad > 0)
+        e_pos = jnp.asarray(self.m_pos)[enter_s]
+        diff_sqr = _dot(pos - e_pos, pos - e_pos)
+        e_int = jnp.where(diff_sqr > 0, e_rad / jnp.where(diff_sqr > 0,
+                                                          diff_sqr, 1.0),
+                          F3_MAG)
+        e_col = self._albedo(enter_s, pos)
+        contrib += jnp.where(is_emit[:, None],
+                             e_col * (e_int * intensity)[:, None] * tint, 0.0)
+
+        shade = shade & ~is_emit
+
+        # surface parameters with exit-transition override
+        # (reference src/scene.c:441-470)
+        trix = jnp.where(has_enter, jnp.asarray(self.m_rix)[enter_s], 1.0)
+        # C && semantics: fresnel collapses to 0/1
+        # (reference src/scene.c:459)
+        fresnel = jnp.where(has_enter,
+                            ((jnp.asarray(self.m_fresnel)[enter_s] != 0)
+                             & (jnp.asarray(self.m_rix)[enter_s] != 1.0)
+                             ).astype(dt),
+                            0.0)
+        chromatic = jnp.where(has_enter,
+                              jnp.asarray(self.m_chromatic)[enter_s], 0.0)
+        diffuse = jnp.where(has_enter,
+                            jnp.asarray(self.m_diffuse)[enter_s], 0.0)
+        transparent = jnp.where(
+            has_enter,
+            _dot(jnp.asarray(self.m_transp)[enter_s],
+                 jnp.asarray(self.m_transp)[enter_s]) > 0, False)
+        sigma = jnp.where(has_enter, jnp.asarray(self.m_sigma)[enter_s], 0.0)
+        sig2 = sigma * sigma
+        on_a = jnp.where(sigma > 0, 1.0 - 0.5 * sig2 / (sig2 + 0.33), 1.0)
+        on_b = jnp.where(sigma > 0, 0.45 * sig2 / (sig2 + 0.09), 0.0)
+
+        exit_rix = jnp.asarray(self.m_rix)[exit_s]
+        trix = jnp.where(has_exit,
+                         trix / jnp.where(exit_rix != 0, exit_rix, 1.0),
+                         trix)
+        fresnel = jnp.where(has_exit, 1.0, fresnel)
+        chromatic = jnp.where(has_exit, 0.0, chromatic)
+        diffuse = jnp.where(has_exit, 0.0, diffuse)
+        transparent = jnp.where(has_exit, True, transparent)
+
+        # Beer-Lambert absorption of this segment
+        # (reference src/scene.c:656-664)
+        transp = jnp.asarray(self.m_transp)[exit_s]
+        absorb = jnp.where((has_exit & (t_safe > 0))[:, None],
+                           jnp.power(jnp.maximum(transp, 0.0),
+                                     t_safe[:, None]), 1.0)
+        tint_l = tint * absorb
+
+        albedo = self._albedo(enter_s, pos)
+
+        children = {}
+
+        # --- fresnel branch (reference src/scene.c:473-495)
+        fr_gate = shade & (fresnel > 0) & (intensity >= self.tmi)
+        R = self._fresnel_reflectance(d, exit_nor, trix) * fresnel
+        refl_d = _norm3(d - exit_nor * (2.0 * _dot(d, exit_nor))[:, None])
+        children["fresnel"] = dict(
+            mask=fr_gate, p=pos, d=refl_d, intensity=R * intensity,
+            tint=tint_l, depth=depth - 1, sample_id=sid)
+        intensity = jnp.where(fr_gate, intensity * (1.0 - R), intensity)
+
+        # --- chromatic branch (reference src/scene.c:498-523)
+        ch_gate = shade & (chromatic > 0) & (intensity >= self.tmi)
+        children["chromatic"] = dict(
+            mask=ch_gate, p=pos, d=refl_d,
+            intensity=chromatic * intensity,
+            tint=tint_l * albedo, depth=depth - 1, sample_id=sid)
+        intensity = jnp.where(ch_gate, intensity * (1.0 - chromatic),
+                              intensity)
+
+        # --- diffuse: NEE direct lighting (reference src/scene.c:526-581)
+        di = intensity * diffuse
+        di_gate = shade & (di >= self.tmi) & (diffuse > 0)
+        surf_d = -exit_nor   # outward shading normal
+        theta_i = jnp.arccos(jnp.clip(-_dot(d, surf_d), -1.0, 1.0))
+        ray_prj = _norm3(d - surf_d * _dot(d, surf_d)[:, None])
+        rv = argn.fold(argn.seed_from_v3(pos, 3294479285),
+                       argn.seed_from_v3(surf_d, 3247146734))
+
+        lum_nee = jnp.zeros((B, 3), dt)
+        if self.n_lights:
+            lum_nee = self._nee(pos, surf_d, di, di_gate, theta_i, on_a,
+                                on_b, ray_prj, rv)
+        path_parent = None
+        if self.path_cap > 0:
+            # spawn descriptors; expansion happens in _spawn_paths
+            ns_p = jnp.floor(self.path_cap * di).astype(jnp.int32)
+            ns_p = jnp.maximum(ns_p, 1)
+            path_gate = di_gate & (depth > 10)
+            path_parent = dict(
+                mask=path_gate, pos=pos, surf_d=surf_d, di=di,
+                ns=ns_p, theta_i=theta_i, on_a=on_a, on_b=on_b,
+                ray_prj=ray_prj, rv=rv,
+                tint=tint_l * albedo, depth=depth - 10, sample_id=sid)
+
+        contrib += jnp.where(di_gate[:, None], lum_nee * albedo * tint_l,
+                             0.0)
+        intensity = jnp.where(di_gate, intensity * (1.0 - diffuse),
+                              intensity)
+
+        # --- refraction branch (reference src/scene.c:633-653)
+        re_gate = shade & transparent & (intensity >= self.tmi)
+        refr_d = self._refract_dir(d, exit_nor, trix)
+        refr_p = p + d * (t_safe + 2 * self.tr.eps)[:, None]
+        children["refract"] = dict(
+            mask=re_gate, p=refr_p, d=refr_d, intensity=intensity,
+            tint=tint_l, depth=depth - 1, sample_id=sid)
+
+        return sid, contrib, children, path_parent
+
+    # ------------------------------------------------------------------
+
+    def _nee(self, pos, surf_d, di, gate, theta_i, on_a, on_b, ray_prj, rv):
+        """Per-light cone-restricted direct light sampling with the
+        2*cap_height/n estimator (reference src/scene.c:542-578)."""
+        dt = self.dtype
+        B = pos.shape[0]
+        ns = jnp.floor(jnp.asarray(self.cfg.direct_samples, dt) * di)
+        ns = jnp.maximum(ns.astype(jnp.int32), 1)
+        ns = jnp.minimum(ns, self.direct_cap)
+        lum = jnp.zeros((B, 3), dt)
+
+        for li in range(self.n_lights):
+            lpos = jnp.asarray(self.l_pos[li])
+            lrad = dt.type(self.l_rad[li])
+            lr = dt.type(self.l_radius[li])
+            lcol = jnp.asarray(self.l_color[li])
+
+            # fov cone toward the light (reference src/objects.c:619-637)
+            diff = lpos - pos
+            dist2 = _dot(diff, diff)
+            fov_d = _norm3(diff)
+            r2 = lr * lr
+            cos_rs = jnp.where(dist2 > r2,
+                               jnp.sqrt(jnp.maximum(1.0 - r2 /
+                                                    jnp.where(dist2 > 0,
+                                                              dist2, 1.0),
+                                                    0.0)),
+                               -1.0)
+            cyl_hgt = 1.0 - cos_rs
+            # frame: transposed(con_z(fov_d)) maps cap samples (around +z)
+            # into world (reference src/scene.c:550)
+            frame = self._conz_t(fov_d)
+
+            def body(j, acc):
+                u1 = argn.uniform(rv, 4 * (li * self.direct_cap + j), dt)
+                u2 = argn.uniform(rv, 4 * (li * self.direct_cap + j) + 1, dt)
+                phi = 2.0 * jnp.pi * u1
+                z = 1.0 - u2 * cyl_hgt
+                sc = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+                local = jnp.stack([jnp.sin(phi) * sc, jnp.cos(phi) * sc, z],
+                                  axis=-1)
+                out_d = jnp.einsum("rij,rj->ri", frame, local)
+                w = _dot(out_d, surf_d)
+                ok = (j < ns) & gate & (w > 0)
+
+                # light-sphere hit (reference src/scene.c:565)
+                a = self._sphere_hit(lpos, lr, pos, out_d)
+                ok = ok & jnp.isfinite(a)
+
+                w = jnp.where(on_b > 0,
+                              self._oren_nayar(w, theta_i, on_a, on_b,
+                                               out_d, surf_d, ray_prj), w)
+
+                # shadow: nearest matter hit must be farther than the light
+                sh = self.tr.shadow_nearest_t(pos, out_d)
+                ok = ok & (sh > a)
+
+                a_safe = jnp.where(jnp.isfinite(a), a, 0.0)
+                hit_pos = pos + out_d * a_safe[:, None]
+                dsq = _dot(hit_pos - lpos, hit_pos - lpos)
+                loc = jnp.where(dsq > 0, lrad / jnp.where(dsq > 0, dsq, 1.0),
+                                F3_MAG)
+                return acc + jnp.where(ok[:, None],
+                                       lcol * (loc * w * di)[:, None], 0.0)
+
+            cl_sum = jax.lax.fori_loop(0, self.direct_cap, body,
+                                       jnp.zeros((B, 3), dt))
+            lum += cl_sum * (2.0 * cyl_hgt / ns.astype(dt))[:, None]
+        return lum
+
+    def _conz_t(self, v):
+        """transposed(con_z(v)): columns = orthonormal frame with z // v
+        (reference src/vectors.h:315-322)."""
+        mz = _norm3(v)
+        # canonic orthonormal (v3d_s_con, reference src/vectors.h:165-175)
+        xx, yy, zz = v[..., 0] ** 2, v[..., 1] ** 2, v[..., 2] ** 2
+        ex = ((xx <= yy) & (xx <= zz)).astype(v.dtype)
+        ey = ((yy <= xx) & (yy <= zz)).astype(v.dtype)
+        ez = ((zz <= xx) & (zz <= yy)).astype(v.dtype)
+        c = jnp.stack([ex, ey, ez], axis=-1)
+        mx = _norm3(c - mz * _dot(mz, c)[..., None])
+        my = jnp.cross(mz, mx)
+        return jnp.stack([mx, my, mz], axis=-1)  # columns
+
+    def _oren_nayar(self, weight, theta_i, on_a, on_b, out_d, nor, ray_prj):
+        """reference src/scene.c:394-416."""
+        theta_r = jnp.arccos(jnp.clip(weight, -1.0, 1.0))
+        proj = _norm3(out_d - nor * _dot(out_d, nor)[:, None])
+        cos_phi = -_dot(proj, ray_prj)
+        return weight * (on_a + on_b * jnp.maximum(cos_phi, 0.0)
+                         * jnp.sin(jnp.maximum(theta_i, theta_r))
+                         * jnp.tan(jnp.minimum(theta_i, theta_r)))
+
+    def _sphere_hit(self, c, r, p, d):
+        from actinon_tpu.render.tracer import _sphere_first_hit
+        return _sphere_first_hit(c, r, p, d, self.tr.eps)
+
+    # ------------------------------------------------------------------
+
+    def _spawn_paths(self, pp: Dict):
+        """Expand path-spawn descriptors into child rays
+        (reference src/scene.c:584-621): hemisphere cap sampling with
+        cos weight, Oren-Nayar adjust, child tint includes albedo and the
+        2/ns estimator factor."""
+        dt = self.dtype
+        pos, surf_d = pp["pos"], pp["surf_d"]
+        B = pos.shape[0]
+        frame = self._conz_t(surf_d)
+        ns = pp["ns"]
+        cap = self.path_cap
+
+        js = jnp.arange(cap)
+        u1 = argn.uniform(pp["rv"][:, None],
+                          4 * self.direct_cap * max(self.n_lights, 1)
+                          + 2 * js[None, :], dt)
+        u2 = argn.uniform(pp["rv"][:, None],
+                          4 * self.direct_cap * max(self.n_lights, 1)
+                          + 2 * js[None, :] + 1, dt)
+        phi = 2.0 * jnp.pi * u1
+        z = 1.0 - u2 * 1.0
+        sc = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+        local = jnp.stack([jnp.sin(phi) * sc, jnp.cos(phi) * sc, z], -1)
+        out_d = jnp.einsum("rij,rkj->rki", frame, local)      # [B,cap,3]
+        w = jnp.einsum("rki,ri->rk", out_d, surf_d)
+        ok = pp["mask"][:, None] & (js[None, :] < ns[:, None]) & (w > 0)
+
+        won = jnp.where(
+            (pp["on_b"] > 0)[:, None],
+            self._oren_nayar_b(w, pp["theta_i"], pp["on_a"], pp["on_b"],
+                               out_d, surf_d, pp["ray_prj"]), w)
+
+        child_int = won * pp["di"][:, None]
+        fac = (2.0 / ns.astype(dt))[:, None, None]
+        child_tint = pp["tint"][:, None, :] * fac
+        return dict(
+            mask=ok,
+            p=jnp.broadcast_to(pos[:, None, :], (B, cap, 3)),
+            d=out_d,
+            intensity=child_int,
+            tint=jnp.broadcast_to(child_tint, (B, cap, 3)),
+            depth=jnp.broadcast_to(pp["depth"][:, None], (B, cap)),
+            sample_id=jnp.broadcast_to(pp["sample_id"][:, None], (B, cap)))
+
+    def _oren_nayar_b(self, weight, theta_i, on_a, on_b, out_d, nor,
+                      ray_prj):
+        """Batched over [B, K] sample axis."""
+        theta_r = jnp.arccos(jnp.clip(weight, -1.0, 1.0))
+        proj = out_d - nor[:, None, :] * jnp.einsum(
+            "rki,ri->rk", out_d, nor)[..., None]
+        proj = _norm3(proj)
+        cos_phi = -jnp.einsum("rki,ri->rk", proj, ray_prj)
+        ti = theta_i[:, None]
+        return weight * (on_a[:, None] + on_b[:, None]
+                         * jnp.maximum(cos_phi, 0.0)
+                         * jnp.sin(jnp.maximum(ti, theta_r))
+                         * jnp.tan(jnp.minimum(ti, theta_r)))
+
+    # ------------------------------------------------------------------
+
+    def run(self, primary: RayQueue, n_samples: int,
+            progress=None) -> np.ndarray:
+        """Drain the wavefront; returns per-sample radiance [n_samples, 3]
+        (un-saturated)."""
+        dt = self.dtype
+        acc = np.zeros((n_samples, 3), np.float64)
+        qn = RayQueue.empty(dt)
+        qn.append(primary)
+        qp = RayQueue.empty(dt)
+        spawn_jit = jax.jit(self._spawn_paths) if self.path_cap else None
+
+        # path batches are wide ([B, path_cap] children): keep B modest
+        path_parent_batch = max(1, (1 << 22) // max(self.path_cap, 1)) \
+            if self.path_cap else 0
+
+        steps = 0
+        while len(qn) or len(qp):
+            use_path = len(qp) >= len(qn)
+            queue = qp if use_path else qn
+            B = min(self.batch, max(len(queue), 1))
+            # bucket B to limit recompiles
+            B = 1 << max(int(np.ceil(np.log2(B))), 6)
+            got = queue.pop(min(B, len(queue))).padded(B, dt)
+            jq = {k: jnp.asarray(getattr(got, k))
+                  for k in ("p", "d", "intensity", "tint", "depth",
+                            "sample_id")}
+            step = self._step_path if use_path else self._step_normal
+            sid, contrib, children, path_parent = step(jq)
+            np.add.at(acc, np.asarray(sid), np.asarray(contrib, np.float64))
+
+            for ch in children.values():
+                self._enqueue(qn, ch)
+            if path_parent is not None:
+                self._enqueue_paths(qp, path_parent, spawn_jit,
+                                    path_parent_batch)
+            steps += 1
+            if progress:
+                progress(steps, len(qn), len(qp))
+        return acc
+
+    def _enqueue(self, queue: RayQueue, ch: Dict):
+        mask = np.asarray(ch["mask"])
+        # cull: dead, depth<=0 children that cannot contribute anything?
+        # NO: a depth-0 child still contributes background on miss
+        # (reference parent-side miss handling, src/scene.c:484-493), so
+        # only intensity==0 rays are dropped.
+        keep = mask & (np.asarray(ch["intensity"]) > 0)
+        if not keep.any():
+            return
+        queue.append(RayQueue(
+            np.asarray(ch["p"])[keep], np.asarray(ch["d"])[keep],
+            np.asarray(ch["intensity"])[keep],
+            np.asarray(ch["tint"])[keep],
+            np.asarray(ch["depth"])[keep].astype(np.int32),
+            np.asarray(ch["sample_id"])[keep].astype(np.int32)))
+
+    def _enqueue_paths(self, queue: RayQueue, pp: Dict, spawn_jit, pb: int):
+        mask = np.asarray(pp["mask"])
+        idx = np.flatnonzero(mask)
+        if len(idx) == 0:
+            return
+        for s in range(0, len(idx), pb):
+            sel = idx[s:s + pb]
+            sub = {k: (jnp.asarray(np.asarray(v)[sel])
+                       if not np.isscalar(v) else v)
+                   for k, v in pp.items()}
+            ch = spawn_jit(sub)
+            m = np.asarray(ch["mask"]).reshape(-1)
+            if not m.any():
+                continue
+            flat = lambda a: np.asarray(a).reshape(
+                (-1,) + np.asarray(a).shape[2:])[m]
+            queue.append(RayQueue(
+                flat(ch["p"]), flat(ch["d"]),
+                flat(ch["intensity"]).astype(self.dtype),
+                flat(ch["tint"]),
+                flat(ch["depth"]).astype(np.int32),
+                flat(ch["sample_id"]).astype(np.int32)))

@@ -230,7 +230,7 @@ class Tracer:
 
     # -- single-leaf family hits ------------------------------------------
 
-    def _hit_spheres(self, p, d, matter_only):
+    def _hit_spheres(self, p, d, matter_only, exclude_oid=None):
         """[R] rays vs the sphere table, chunked running min.
         Returns (t[R], sign[R] of nor.d, idx[R] into table)."""
         t = self.tb.sph
@@ -242,8 +242,9 @@ class Tracer:
         c = jnp.asarray(t["c"]); r = jnp.asarray(t["r"])
         ec = jnp.asarray(t["env_c"]); er = jnp.asarray(t["env_r"])
         light = jnp.asarray(self.is_light[t["oid"]])
+        tab_oid = jnp.asarray(t["oid"])
 
-        def chunk_hit(c_k, r_k, ec_k, er_k, light_k):
+        def chunk_hit(c_k, r_k, ec_k, er_k, light_k, oid_k):
             # [R, K]
             a = _sphere_first_hit(c_k[None, :, :], r_k[None, :],
                                   p[:, None, :], d[:, None, :], self.eps)
@@ -252,11 +253,13 @@ class Tracer:
             a = jnp.where(gate, a, INF)
             if matter_only:
                 a = jnp.where(light_k[None, :], INF, a)
+            if exclude_oid is not None:
+                a = jnp.where(oid_k[None, :] == exclude_oid[:, None], INF, a)
             k = jnp.argmin(a, axis=1)
             return jnp.min(a, axis=1), k
 
         if S <= SPHERE_CHUNK:
-            t_min, k = chunk_hit(c, r, ec, er, light)
+            t_min, k = chunk_hit(c, r, ec, er, light, tab_oid)
             idx = k.astype(jnp.int32)
         else:
             # pad to multiple, scan chunks with running min
@@ -266,16 +269,18 @@ class Tracer:
             ecp = jnp.concatenate([ec, jnp.zeros((pad, 3), self.dtype)])
             erp = jnp.concatenate([er, jnp.full((pad,), -1.0, self.dtype)])
             lp = jnp.concatenate([light, jnp.ones((pad,), bool)])
+            op = jnp.concatenate([tab_oid, jnp.full((pad,), -2, jnp.int32)])
             nch = (S + pad) // SPHERE_CHUNK
             cs = cp.reshape(nch, SPHERE_CHUNK, 3)
             rs = rp.reshape(nch, SPHERE_CHUNK)
             ecs = ecp.reshape(nch, SPHERE_CHUNK, 3)
             ers = erp.reshape(nch, SPHERE_CHUNK)
             ls = lp.reshape(nch, SPHERE_CHUNK)
+            os_ = op.reshape(nch, SPHERE_CHUNK)
 
             def body(carry, xs):
                 best_t, best_i, base = carry
-                ck, rk, eck, erk, lk = xs
+                ck, rk, eck, erk, lk, ok_ = xs
                 a = _sphere_first_hit(ck[None, :, :], rk[None, :],
                                       p[:, None, :], d[:, None, :], self.eps)
                 a = jnp.where(rk[None, :] <= 0, INF, a)
@@ -284,6 +289,9 @@ class Tracer:
                 a = jnp.where(gate, a, INF)
                 if matter_only:
                     a = jnp.where(lk[None, :], INF, a)
+                if exclude_oid is not None:
+                    a = jnp.where(ok_[None, :] == exclude_oid[:, None], INF,
+                                  a)
                 tk = jnp.min(a, axis=1)
                 ik = jnp.argmin(a, axis=1).astype(jnp.int32) + base
                 better = tk < best_t
@@ -294,7 +302,8 @@ class Tracer:
             R = p.shape[0]
             init = (jnp.full((R,), INF, self.dtype),
                     jnp.zeros((R,), jnp.int32), jnp.int32(0))
-            (t_min, idx, _), _ = jax.lax.scan(body, init, (cs, rs, ecs, ers, ls))
+            (t_min, idx, _), _ = jax.lax.scan(body, init,
+                                              (cs, rs, ecs, ers, ls, os_))
 
         # sign of nor.d at hit: nor ~ (pp + d a) => nor.d ~ s + a
         cg = c[idx]
@@ -302,7 +311,7 @@ class Tracer:
         sign = jnp.where(s + t_min > 0, 1.0, -1.0).astype(self.dtype)
         return t_min, sign, idx
 
-    def _hit_planes(self, p, d, matter_only):
+    def _hit_planes(self, p, d, matter_only, exclude_oid=None):
         t = self.tb.pla
         P = len(t["oid"])
         R = p.shape[0]
@@ -321,10 +330,13 @@ class Tracer:
         if matter_only:
             light = jnp.asarray(self.is_light[t["oid"]])
             a = jnp.where(light[None, :], INF, a)
+        if exclude_oid is not None:
+            a = jnp.where(jnp.asarray(t["oid"])[None, :]
+                          == exclude_oid[:, None], INF, a)
         sign = jnp.where(div > 0, 1.0, -1.0).astype(self.dtype)
         return a, sign
 
-    def _hit_quadrics(self, p, d, matter_only):
+    def _hit_quadrics(self, p, d, matter_only, exclude_oid=None):
         t = self.tb.qua
         Q = len(t["oid"])
         R = p.shape[0]
@@ -344,6 +356,9 @@ class Tracer:
         if matter_only:
             light = jnp.asarray(self.is_light[t["oid"]])
             a = jnp.where(light[None, :], INF, a)
+        if exclude_oid is not None:
+            a = jnp.where(jnp.asarray(t["oid"])[None, :]
+                          == exclude_oid[:, None], INF, a)
         # sign of nor.d: grad = 2 M^T (coef*x') with x' = pl + a dl;
         # nor.d sign = sign((coef*x').dl)
         a_safe = jnp.where(jnp.isfinite(a), a, 0.0)
@@ -561,7 +576,7 @@ class Tracer:
     # -- public queries ----------------------------------------------------
 
     def nearest(self, p, d, matter_only=False, with_normal=True,
-                rng_rough=True):
+                rng_rough=True, exclude_oid=None):
         """Nearest hit over the whole scene.
         Returns (t[R], nor[R,3], oid[R]; oid=-1 where miss)."""
         dt = self.dtype
@@ -571,7 +586,8 @@ class Tracer:
 
         ts, signs, nors, oids = [], [], [], []
 
-        t_s, sign_s, idx_s = self._hit_spheres(p, d, matter_only)
+        t_s, sign_s, idx_s = self._hit_spheres(p, d, matter_only,
+                                               exclude_oid)
         ts.append(t_s); signs.append(sign_s)
         oid_s = jnp.asarray(self.tb.sph["oid"])[idx_s] \
             if len(self.tb.sph["oid"]) else jnp.zeros((R,), jnp.int32)
@@ -584,7 +600,7 @@ class Tracer:
             nor_s = jnp.zeros((R, 3), dt)
         nors.append(nor_s); oids.append(oid_s)
 
-        a_p, sign_p = self._hit_planes(p, d, matter_only)
+        a_p, sign_p = self._hit_planes(p, d, matter_only, exclude_oid)
         if a_p.shape[1]:
             k = jnp.argmin(a_p, axis=1)
             t_p = jnp.min(a_p, axis=1)
@@ -594,7 +610,7 @@ class Tracer:
             nors.append(n_tab[k])
             oids.append(jnp.asarray(self.tb.pla["oid"])[k])
 
-        a_q, sign_q = self._hit_quadrics(p, d, matter_only)
+        a_q, sign_q = self._hit_quadrics(p, d, matter_only, exclude_oid)
         if a_q.shape[1]:
             k = jnp.argmin(a_q, axis=1)
             t_q = jnp.min(a_q, axis=1)
@@ -614,6 +630,8 @@ class Tracer:
             if matter_only and self.is_light[oid]:
                 continue
             a, nor = self._hit_sdf_leaf(lf, env_c, env_r, p, d)
+            if exclude_oid is not None:
+                a = jnp.where(exclude_oid == oid, INF, a)
             ts.append(a)
             signs.append(jnp.where(_dot(nor, d) > 0, 1.0, -1.0).astype(dt))
             nors.append(nor)
@@ -623,6 +641,8 @@ class Tracer:
             if matter_only and self.is_light[oid]:
                 continue
             a, nor = self._hit_composite(obj, p, d)
+            if exclude_oid is not None:
+                a = jnp.where(exclude_oid == oid, INF, a)
             ts.append(a)
             signs.append(jnp.where(_dot(nor, d) > 0, 1.0, -1.0).astype(dt))
             nors.append(nor)
@@ -688,22 +708,37 @@ class Tracer:
         exit_ = jnp.where(close & exiting2 & (exit_ < 0), oid2, exit_)
         return t, exit_nor, enter, exit_
 
-    def _second_nearest(self, p, d, exclude_oid, t_min):
-        """Nearest hit excluding one object id: restart the rays just past
-        the first hit (cheap approximation sufficient for eps-coincident
-        surface detection)."""
-        t_safe = jnp.where(jnp.isfinite(t_min), t_min, 0.0)
-        p2 = p + d * (t_safe + 2 * self.eps)[:, None]
-        t2, nor2, oid2, sign2 = self.nearest(p2, d, matter_only=False,
-                                             rng_rough=False)
-        t2 = t_safe + 2 * self.eps + t2
-        # if the re-hit is the same object, it's not a coincident partner
-        same = oid2 == exclude_oid
-        t2 = jnp.where(same, INF, t2)
-        return t2, nor2, oid2, sign2
+    def _second_nearest(self, p, d, exclude_oid, t_min, matter_only=False):
+        """Nearest hit over all objects EXCEPT the given one — used to find
+        surfaces eps-coincident with the first hit (the glass/wine media
+        transition, reference src/compound.c:284-297)."""
+        return self.nearest(p, d, matter_only=matter_only, rng_rough=False,
+                            exclude_oid=exclude_oid)
+
+    def trans_hit_matter(self, p, d):
+        """Transition hit over the matter compound only — the path-ray
+        trace (reference src/scene.c:607 uses
+        compound_s_ray_trans_hit(scene->matter, ...))."""
+        t, nor, oid, sign = self.nearest(p, d, matter_only=True)
+        exiting = sign > 0
+        exit_nor = jnp.where(exiting[:, None], nor, -nor)
+        enter = jnp.where(~exiting & (oid >= 0), oid, -1)
+        exit_ = jnp.where(exiting & (oid >= 0), oid, -1)
+        t2, nor2, oid2, sign2 = self._second_nearest(p, d, oid, t,
+                                                     matter_only=True)
+        close = jnp.isfinite(t) & jnp.isfinite(t2) & (jnp.abs(t2 - t)
+                                                      < 2 * self.eps)
+        exiting2 = sign2 > 0
+        enter = jnp.where(close & ~exiting2 & (enter < 0), oid2, enter)
+        exit_ = jnp.where(close & exiting2 & (exit_ < 0), oid2, exit_)
+        return t, exit_nor, enter, exit_
+
+    def shadow_nearest_t(self, p, d):
+        """Nearest matter hit distance (the NEE shadow test uses
+        compound_s_ray_hit(matter) > a, reference src/scene.c:571).
+        Normals are irrelevant to the comparison, so roughness is skipped."""
+        t, _, _, _ = self.nearest(p, d, matter_only=True, rng_rough=False)
+        return t
 
     def shadow_t(self, p, d):
-        """Nearest matter hit distance (the NEE shadow test uses
-        compound_s_ray_hit(matter) > a, reference src/scene.c:571)."""
-        t, _, _, _ = self.nearest(p, d, matter_only=True, rng_rough=True)
-        return t
+        return self.shadow_nearest_t(p, d)

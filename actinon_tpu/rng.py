@@ -49,13 +49,15 @@ def mix(seed, counter):
 def uniform(seed, counter, dtype=jnp.float32):
     """Uniform in [0, 1): top 24 bits of the draw (enough for rendering in
     either storage dtype)."""
+    dtype = np.dtype(dtype)
     bits = mix(seed, counter)
-    return (bits >> np.uint32(8)).astype(dtype) * dtype(1.0 / (1 << 24))
+    return (bits >> np.uint32(8)).astype(dtype) * dtype.type(1.0 / (1 << 24))
 
 
 def uniform_signed(seed, counter, dtype=jnp.float32):
     """Uniform in (-1, 1), the f3_rnd0 analog (reference src/vectors.h:45)."""
-    return uniform(seed, counter, dtype) * dtype(2.0) - dtype(1.0)
+    dtype = np.dtype(dtype)
+    return uniform(seed, counter, dtype) * dtype.type(2.0) - dtype.type(1.0)
 
 
 def seed_from_v3(pos, salt):
