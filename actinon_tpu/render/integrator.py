@@ -556,13 +556,19 @@ class Integrator:
             if self.path_cap else 0
 
         steps = 0
+        self.rays_traced = 0   # ray-segment queries issued (see bench.py)
+        # per normal/path step: 1 transition trace + 1 coincidence pass +
+        # n_lights*direct_cap NEE light/shadow traces per ray lane
+        per_ray_queries = 2 + self.n_lights * self.direct_cap
         while len(qn) or len(qp):
             use_path = len(qp) >= len(qn)
             queue = qp if use_path else qn
             B = min(self.batch, max(len(queue), 1))
             # bucket B to limit recompiles
             B = 1 << max(int(np.ceil(np.log2(B))), 6)
-            got = queue.pop(min(B, len(queue))).padded(B, dt)
+            n_eff = min(B, len(queue))
+            self.rays_traced += n_eff * per_ray_queries
+            got = queue.pop(n_eff).padded(B, dt)
             jq = {k: jnp.asarray(getattr(got, k))
                   for k in ("p", "d", "intensity", "tint", "depth",
                             "sample_id")}

@@ -1,0 +1,82 @@
+"""Benchmark: wine_glass.acn forward rendering throughput on one chip.
+
+Metric: ray-segment queries per second.  A "query" is one full-scene
+ray traversal lane actually computed on the device: per wavefront step
+each live ray costs 1 transition trace + 1 coincident-surface pass +
+n_lights*direct_samples NEE light/shadow traversals (identical
+accounting to the reference's recursive calls into
+compound_s_ray_hit/ray_trans_hit, reference src/scene.c:420-667).
+
+vs_baseline: ratio against the same workload executed by this
+framework's own CPU path on this host (the C reference cannot be built
+here -- its foundation library `beth` is not vendored, SURVEY.md
+"external dependency caveat"), measured once and pinned below.
+
+Prints ONE json line.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# Pinned CPU-host throughput of this same benchmark (measured with
+# JAX_PLATFORMS=cpu on this machine, f32, 2026-08-17): queries/s.
+CPU_BASELINE_QPS = 5.43e4
+
+CONFIG = dict(width=200, height=150, direct=10, path=0, depth=25)
+
+
+def main():
+    t_setup = time.time()
+    from actinon_tpu.acn.interp import run_file
+    from actinon_tpu.render.driver import camera_rays
+    from actinon_tpu.render.integrator import Integrator, RayQueue
+    from actinon_tpu.render.tracer import Tracer
+    from actinon_tpu.scene import ir as sir
+
+    captured = []
+    run_file("/root/reference/src_acn/wine_glass.acn",
+             render_fn=lambda sc, fn: captured.append(sc.clone()),
+             args=["-f"])
+    sc = captured[0]
+    sc.cfg.image_width = CONFIG["width"]
+    sc.cfg.image_height = CONFIG["height"]
+    sc.cfg.direct_samples = CONFIG["direct"]
+    sc.cfg.path_samples = CONFIG["path"]
+    sc.cfg.trace_depth = CONFIG["depth"]
+    cfg = sc.cfg
+
+    ir = sir.compile_scene(sc)
+    tracer = Tracer(ir, dtype=np.float32)
+    integ = Integrator(tracer, batch=1 << 15)
+
+    def one_pass():
+        ys, xs = np.mgrid[0:cfg.image_height, 0:cfg.image_width]
+        pos = np.stack([xs.reshape(-1) + 0.5, ys.reshape(-1) + 0.5],
+                       -1).astype(np.float64)
+        p, d = camera_rays(ir, pos, np.float32)
+        primary = RayQueue(p, d, np.ones(len(p), np.float32),
+                           np.ones((len(p), 3), np.float32),
+                           np.full(len(p), cfg.trace_depth, np.int32),
+                           np.arange(len(p), dtype=np.int32))
+        return integ.run(primary, len(p))
+
+    one_pass()                      # warmup/compile
+    t0 = time.time()
+    one_pass()
+    dt = time.time() - t0
+    qps = integ.rays_traced / dt
+
+    print(json.dumps({
+        "metric": "wine_glass_ray_queries_per_s_chip",
+        "value": round(qps, 1),
+        "unit": "queries/s",
+        "vs_baseline": round(qps / CPU_BASELINE_QPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
