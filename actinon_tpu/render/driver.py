@@ -115,16 +115,24 @@ def render_scene(scene, out_file: str, force: bool = False,
             else:
                 grad = lum.sqr_grad()
                 sel = np.argwhere(grad > sqr_thresh)   # [K, 2] (y, x)
-                pos_list = []
                 # sequential LCG draws, matching the reference's resume
-                # semantics (reference src/scene.c:1130-1135)
-                for y, x in sel:
-                    for _ in range(cfg.gradient_samples):
-                        dx = lcg.rnd1()
-                        dy = lcg.rnd1()
-                        pos_list.append((x + dx, y + dy))
-                pos = np.array(pos_list, np.float64) if pos_list \
-                    else np.zeros((0, 2))
+                # semantics (reference src/scene.c:1130-1135); the chain is
+                # inherently serial -> native C kernel with python fallback
+                try:
+                    from actinon_tpu.native import gen_samples
+                    pos, new_state = gen_samples(
+                        sel[:, 1], sel[:, 0], cfg.gradient_samples,
+                        int(lcg.state))
+                    lcg.state = np.uint64(new_state)
+                except ImportError:
+                    pos_list = []
+                    for y, x in sel:
+                        for _ in range(cfg.gradient_samples):
+                            dx = lcg.rnd1()
+                            dy = lcg.rnd1()
+                            pos_list.append((x + dx, y + dy))
+                    pos = np.array(pos_list, np.float64) if pos_list \
+                        else np.zeros((0, 2))
                 log(f"pass {cycle}: {len(sel)} pixels -> {len(pos)} samples")
 
             if len(pos):

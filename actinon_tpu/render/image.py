@@ -20,6 +20,11 @@ import numpy as np
 def pack_cps(img: np.ndarray) -> np.ndarray:
     """float RGB [H,W,3] -> packed u32 r|g<<8|b<<16 (cps_from_cl,
     reference src/scene.c:76-83): byte = clr*256 clamped to [0,255]."""
+    try:
+        from actinon_tpu.native import pack_cps as native_pack
+        return native_pack(img)
+    except ImportError:
+        pass
     b = np.clip((img * 256.0).astype(np.int64), 0, 255).astype(np.uint32)
     b[img <= 0.0] = 0
     return b[..., 0] | (b[..., 1] << 8) | (b[..., 2] << 16)

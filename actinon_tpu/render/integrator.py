@@ -153,6 +153,7 @@ class Integrator:
             np.asarray(o.tex_c1 if o.tex_kind == sir.TEX_PLAIN else o.color,
                        dt) for o in lo]) if L else np.zeros((0, 3), dt)
 
+        self.rays_traced = 0
         self.direct_cap = max(int(self.cfg.direct_samples), 1)
         self.path_cap = max(int(self.cfg.path_samples), 0)
         self.tmi = dt.type(self.cfg.trace_min_intensity)
@@ -414,40 +415,52 @@ class Integrator:
             # into world (reference src/scene.c:550)
             frame = self._conz_t(fov_d)
 
-            def body(j, acc):
-                u1 = argn.uniform(rv, 4 * (li * self.direct_cap + j), dt)
-                u2 = argn.uniform(rv, 4 * (li * self.direct_cap + j) + 1, dt)
+            # all samples for this light as one flattened batch: the shadow
+            # traces run as [B*S_chunk] rays in few big device calls instead
+            # of direct_cap sequential [B] calls (loop latency + small-batch
+            # underutilization both vanish)
+            s_chunk = max(1, min(self.direct_cap,
+                                 (1 << 20) // max(B, 1)))
+            cl_sum = jnp.zeros((B, 3), dt)
+            for j0 in range(0, self.direct_cap, s_chunk):
+                js = jnp.arange(j0, min(j0 + s_chunk, self.direct_cap))
+                S = js.shape[0]
+                ctr = 4 * (li * self.direct_cap + js)[None, :]
+                u1 = argn.uniform(rv[:, None], ctr, dt)
+                u2 = argn.uniform(rv[:, None], ctr + 1, dt)
                 phi = 2.0 * jnp.pi * u1
-                z = 1.0 - u2 * cyl_hgt
+                z = 1.0 - u2 * cyl_hgt[:, None]
                 sc = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
                 local = jnp.stack([jnp.sin(phi) * sc, jnp.cos(phi) * sc, z],
-                                  axis=-1)
-                out_d = jnp.einsum("rij,rj->ri", frame, local)
-                w = _dot(out_d, surf_d)
-                ok = (j < ns) & gate & (w > 0)
+                                  axis=-1)                      # [B,S,3]
+                out_d = jnp.einsum("rij,rsj->rsi", frame, local)
+                w = jnp.einsum("rsi,ri->rs", out_d, surf_d)
+                ok = (js[None, :] < ns[:, None]) & gate[:, None] & (w > 0)
 
                 # light-sphere hit (reference src/scene.c:565)
-                a = self._sphere_hit(lpos, lr, pos, out_d)
+                a = self._sphere_hit(lpos, lr, pos[:, None, :], out_d)
                 ok = ok & jnp.isfinite(a)
 
-                w = jnp.where(on_b > 0,
-                              self._oren_nayar(w, theta_i, on_a, on_b,
-                                               out_d, surf_d, ray_prj), w)
+                w = jnp.where((on_b > 0)[:, None],
+                              self._oren_nayar_b(w, theta_i, on_a, on_b,
+                                                 out_d, surf_d, ray_prj), w)
 
                 # shadow: nearest matter hit must be farther than the light
-                sh = self.tr.shadow_nearest_t(pos, out_d)
+                flat_p = jnp.broadcast_to(pos[:, None, :],
+                                          (B, S, 3)).reshape(B * S, 3)
+                sh = self.tr.shadow_nearest_t(
+                    flat_p, out_d.reshape(B * S, 3)).reshape(B, S)
                 ok = ok & (sh > a)
 
                 a_safe = jnp.where(jnp.isfinite(a), a, 0.0)
-                hit_pos = pos + out_d * a_safe[:, None]
-                dsq = _dot(hit_pos - lpos, hit_pos - lpos)
+                hit_pos = pos[:, None, :] + out_d * a_safe[..., None]
+                dsq = jnp.sum((hit_pos - lpos) ** 2, -1)
                 loc = jnp.where(dsq > 0, lrad / jnp.where(dsq > 0, dsq, 1.0),
                                 F3_MAG)
-                return acc + jnp.where(ok[:, None],
-                                       lcol * (loc * w * di)[:, None], 0.0)
-
-            cl_sum = jax.lax.fori_loop(0, self.direct_cap, body,
-                                       jnp.zeros((B, 3), dt))
+                contrib = lcol[None, None, :] * (loc * w)[..., None] \
+                    * di[:, None, None]
+                cl_sum = cl_sum + jnp.sum(
+                    jnp.where(ok[..., None], contrib, 0.0), axis=1)
             lum += cl_sum * (2.0 * cyl_hgt / ns.astype(dt))[:, None]
         return lum
 
@@ -540,10 +553,99 @@ class Integrator:
 
     # ------------------------------------------------------------------
 
+    def run_device(self, primary: RayQueue, n_samples: int) -> np.ndarray:
+        """Device-resident wavefront drain: the whole pass is ONE jitted
+        `lax.while_loop` — queue, child compaction and accumulation all
+        stay on device, so per-step host round trips (disastrous over a
+        TPU tunnel) vanish.  Requires path_samples == 0 (the splitting
+        path branch is spawned host-side; see run())."""
+        assert self.path_cap == 0
+        dt = self.dtype
+        N = len(primary)
+        B = self.batch
+        C = 1 << int(np.ceil(np.log2(max(4 * N, 4 * B))))
+
+        # buffer physically sized C + 3B so the child write-back is always
+        # a full in-bounds 3B block; logical entries live in [0, count)
+        buf = primary.padded(C + 3 * self.batch, dt)
+        init = dict(
+            p=jnp.asarray(buf.p), d=jnp.asarray(buf.d),
+            intensity=jnp.asarray(buf.intensity),
+            tint=jnp.asarray(buf.tint),
+            depth=jnp.asarray(buf.depth),
+            sample_id=jnp.asarray(buf.sample_id))
+
+        if not hasattr(self, "_drain_jit"):
+            self._drain_jit = {}
+        key = (C, n_samples)
+        if key not in self._drain_jit:
+            self._drain_jit[key] = jax.jit(
+                lambda q, count: self._drain(q, count, n_samples, C))
+        acc, dropped, queries = jax.device_get(
+            self._drain_jit[key](init, jnp.int32(N)))
+        per_ray = 2 + self.n_lights * self.direct_cap
+        self.rays_traced += int(queries) * per_ray
+        if int(dropped):
+            print(f"warning: ray queue overflow, {int(dropped)} rays "
+                  f"dropped", flush=True)
+        return acc.astype(np.float64)
+
+    def _drain(self, q0, count0, n_samples, C):
+        """while(count>0): pop up to B lanes from the tail, step, compact
+        the child rays (cumsum scatter) back onto the tail."""
+        dt = self.dtype
+        B = self.batch
+        acc0 = jnp.zeros((n_samples, 3), dt)
+
+        def cond(carry):
+            q, count, acc, it, dropped, queries = carry
+            return (count > 0) & (it < 100000)
+
+        def body(carry):
+            q, count, acc, it, dropped, queries = carry
+            s = jnp.maximum(count - B, 0)
+            take = count - s
+            lanes = {k: jax.lax.dynamic_slice_in_dim(v, s, B, axis=0)
+                     for k, v in q.items()}
+            valid = jnp.arange(B) < take
+            lanes["intensity"] = jnp.where(valid, lanes["intensity"], 0.0)
+
+            sid, contrib, children, _ = self._step(lanes, path_ray=False)
+            acc = acc.at[sid].add(jnp.where(valid[:, None], contrib, 0.0))
+
+            # compact [3B] child candidates into a dense prefix
+            ch = [children["fresnel"], children["chromatic"],
+                  children["refract"]]
+            cmask = jnp.concatenate([c["mask"] & valid & (c["intensity"] > 0)
+                                     for c in ch])
+            posn = jnp.cumsum(cmask.astype(jnp.int32)) - 1
+            nv = posn[-1] + 1
+            pos = jnp.where(cmask, posn, 3 * B)   # invalid -> dropped
+            nv_fit = jnp.minimum(nv, C - s)
+            dropped = dropped + (nv - nv_fit)
+
+            qn = {}
+            for f in ("p", "d", "intensity", "tint", "depth", "sample_id"):
+                a = jnp.concatenate([c[f] for c in ch])
+                z = jnp.zeros((3 * B,) + a.shape[1:], a.dtype)
+                comp = z.at[pos].set(a, mode="drop")
+                if f == "intensity":
+                    comp = jnp.where(jnp.arange(3 * B) < nv_fit, comp, 0.0)
+                qn[f] = jax.lax.dynamic_update_slice_in_dim(
+                    q[f], comp.astype(q[f].dtype), s, axis=0)
+            return (qn, s + nv_fit, acc, it + 1, dropped, queries + take)
+
+        q, count, acc, it, dropped, queries = jax.lax.while_loop(
+            cond, body, (q0, count0, acc0, jnp.int32(0), jnp.int32(0),
+                         jnp.int32(0)))
+        return acc, dropped, queries
+
     def run(self, primary: RayQueue, n_samples: int,
             progress=None) -> np.ndarray:
         """Drain the wavefront; returns per-sample radiance [n_samples, 3]
         (un-saturated)."""
+        if self.path_cap == 0 and getattr(self, "device_drain", True):
+            return self.run_device(primary, n_samples)
         dt = self.dtype
         acc = np.zeros((n_samples, 3), np.float64)
         qn = RayQueue.empty(dt)
@@ -573,8 +675,11 @@ class Integrator:
                   for k in ("p", "d", "intensity", "tint", "depth",
                             "sample_id")}
             step = self._step_path if use_path else self._step_normal
-            sid, contrib, children, path_parent = step(jq)
-            np.add.at(acc, np.asarray(sid), np.asarray(contrib, np.float64))
+            out = step(jq)
+            # single bulk transfer: per-array np.asarray would pay one
+            # host<->device round trip each (disastrous over a TPU tunnel)
+            sid, contrib, children, path_parent = jax.device_get(out)
+            np.add.at(acc, sid, contrib.astype(np.float64))
 
             for ch in children.values():
                 self._enqueue(qn, ch)
@@ -612,7 +717,7 @@ class Integrator:
             sub = {k: (jnp.asarray(np.asarray(v)[sel])
                        if not np.isscalar(v) else v)
                    for k, v in pp.items()}
-            ch = spawn_jit(sub)
+            ch = jax.device_get(spawn_jit(sub))
             m = np.asarray(ch["mask"]).reshape(-1)
             if not m.any():
                 continue

@@ -23,8 +23,9 @@ import time
 import numpy as np
 
 # Pinned CPU-host throughput of this same benchmark (measured with
-# JAX_PLATFORMS=cpu on this machine, f32, 2026-08-17): queries/s.
-CPU_BASELINE_QPS = 5.43e4
+# JAX_PLATFORMS=cpu on this machine, f32, device-resident drain,
+# 2026-08-17): queries/s.
+CPU_BASELINE_QPS = 4.56e6
 
 CONFIG = dict(width=200, height=150, direct=10, path=0, depth=25)
 
