@@ -42,7 +42,7 @@ import jax.numpy as jnp
 
 from actinon_tpu import rng as argn
 from actinon_tpu.scene import ir as sir
-from actinon_tpu.render.tracer import Tracer, _norm3, _dot
+from actinon_tpu.render.tracer import (Tracer, _norm3, _dot, safe_sqrt, safe_acos)
 
 INF = jnp.inf
 F3_MAG = 1e30
@@ -105,6 +105,14 @@ class Integrator:
         self.cfg = tracer.ir.cfg
         self.dtype = tracer.dtype
         self.batch = batch
+        # differentiable-path hooks (see diff.py): `ovr` substitutes traced
+        # material tables; seed_mode="counter" derives RNG streams from
+        # (sample_id, depth) instead of the hit position so that finite
+        # differences see frozen randomness (the reference's
+        # position-seeding, src/scene.c:537, makes the sample set a
+        # discontinuous function of the scene parameters).
+        self.ovr = {}
+        self.seed_mode = "position"
 
         ir = self.ir
         dt = self.dtype
@@ -165,14 +173,33 @@ class Integrator:
 
     # ------------------------------------------------------------------
 
+    def _mt(self, name):
+        """Material table read with optional traced override."""
+        o = self.ovr.get(name)
+        return jnp.asarray(o if o is not None else getattr(self, name))
+
+    def mat_params(self):
+        """Export the differentiable material/light tables as a dict pytree
+        whose keys match the `ovr` names."""
+        names = ["m_color", "m_radiance", "m_rix", "m_fresnel",
+                 "m_chromatic", "m_diffuse", "m_sigma", "m_transp", "m_pos",
+                 "m_tex1", "m_tex2", "l_pos", "l_rad", "l_radius", "l_color",
+                 "background"]
+        out = {}
+        for n in names:
+            v = getattr(self, n)
+            if v is not None and np.size(v) > 0:
+                out[n] = jnp.asarray(v)
+        return out
+
     def _albedo(self, oid, pos):
         """obj_color with texture dispatch (reference src/objects.c:411-422,
         src/textures.c)."""
         oid_s = jnp.maximum(oid, 0)
-        base = jnp.asarray(self.m_color)[oid_s]
+        base = self._mt("m_color")[oid_s]
         texk = jnp.asarray(self.m_texk)[oid_s]
-        tex1 = jnp.asarray(self.m_tex1)[oid_s]
-        tex2 = jnp.asarray(self.m_tex2)[oid_s]
+        tex1 = self._mt("m_tex1")[oid_s]
+        tex2 = self._mt("m_tex2")[oid_s]
         texs = jnp.asarray(self.m_texs)[oid_s]
         projk = jnp.asarray(self.m_projk)[oid_s]
         projp = jnp.asarray(self.m_projp)[oid_s]
@@ -187,9 +214,9 @@ class Integrator:
         r = _norm3(rel)
         sx = _dot(r, projr[:, 0, :])
         sy = _dot(r, jnp.cross(projr[:, 2, :], projr[:, 0, :]))
-        sz = jnp.clip(_dot(r, projr[:, 2, :]), -1.0, 1.0)
+        sz = _dot(r, projr[:, 2, :])
         u_sp = jnp.arctan2(sx, sy)
-        v_sp = jnp.arcsin(sz)
+        v_sp = safe_acos(sz) * (-1.0) + jnp.pi / 2   # asin with safe grads
 
         u = jnp.where(projk == sir.PROJ_SPHERE, u_sp, u_pl)
         v = jnp.where(projk == sir.PROJ_SPHERE, v_sp, v_pl)
@@ -207,12 +234,17 @@ class Integrator:
         c = _dot(d, exit_nor)
         f = jnp.where(c < 0, trix, 1.0 / jnp.where(trix != 0, trix, 1.0))
         cos_ai = jnp.minimum(jnp.abs(c), 1.0)
-        sin_ai = jnp.sqrt(1.0 - cos_ai * cos_ai)
+        sin_ai = safe_sqrt(1.0 - cos_ai * cos_ai)
         sin_at = sin_ai * f
         total = sin_at >= 1.0
-        cos_at = jnp.sqrt(jnp.maximum(1.0 - sin_at * sin_at, 0.0))
-        rs = ((f * cos_ai - cos_at) / (f * cos_ai + cos_at)) ** 2
-        rp = ((f * cos_at - cos_ai) / (f * cos_at + cos_ai)) ** 2
+        cos_at = safe_sqrt(1.0 - sin_at * sin_at)
+        # total-internal-reflection lanes have cos_ai = cos_at = 0: the
+        # 0/0 would be where()-masked in the output but still poisons the
+        # reverse pass (0 * nan = nan), so keep the denominators nonzero
+        den_s = f * cos_ai + cos_at
+        den_p = f * cos_at + cos_ai
+        rs = ((f * cos_ai - cos_at) / jnp.where(den_s != 0, den_s, 1.0)) ** 2
+        rp = ((f * cos_at - cos_ai) / jnp.where(den_p != 0, den_p, 1.0)) ** 2
         return jnp.where(total, 1.0, (rs + rp) * 0.5)
 
     def _refract_dir(self, d, exit_nor, trix):
@@ -220,7 +252,7 @@ class Integrator:
         c = _dot(d, exit_nor)
         f = jnp.where(c < 0, trix, 1.0 / jnp.where(trix != 0, trix, 1.0))
         q = f * f * (1.0 - c * c)
-        sq = jnp.sqrt(jnp.maximum(1.0 - q, 0.0))
+        sq = safe_sqrt(1.0 - q)
         b = -f * c + jnp.where(c > 0, sq, -sq)
         out = d * f[:, None] + exit_nor * b[:, None]
         return jnp.where((q < 1.0)[:, None], out, d)
@@ -237,7 +269,7 @@ class Integrator:
         B = p.shape[0]
         alive = intensity > 0
 
-        bg = jnp.asarray(self.background)
+        bg = self._mt("background")
 
         if path_ray:
             t, exit_nor, enter, exit_ = self.tr.trans_hit_matter(p, d)
@@ -266,9 +298,9 @@ class Integrator:
         has_exit = exit_ >= 0
 
         # emitter hit (reference src/scene.c:432-437)
-        e_rad = jnp.asarray(self.m_radiance)[enter_s] * has_enter
+        e_rad = self._mt("m_radiance")[enter_s] * has_enter
         is_emit = shade & (e_rad > 0)
-        e_pos = jnp.asarray(self.m_pos)[enter_s]
+        e_pos = self._mt("m_pos")[enter_s]
         diff_sqr = _dot(pos - e_pos, pos - e_pos)
         e_int = jnp.where(diff_sqr > 0, e_rad / jnp.where(diff_sqr > 0,
                                                           diff_sqr, 1.0),
@@ -281,28 +313,28 @@ class Integrator:
 
         # surface parameters with exit-transition override
         # (reference src/scene.c:441-470)
-        trix = jnp.where(has_enter, jnp.asarray(self.m_rix)[enter_s], 1.0)
+        trix = jnp.where(has_enter, self._mt("m_rix")[enter_s], 1.0)
         # C && semantics: fresnel collapses to 0/1
         # (reference src/scene.c:459)
         fresnel = jnp.where(has_enter,
-                            ((jnp.asarray(self.m_fresnel)[enter_s] != 0)
-                             & (jnp.asarray(self.m_rix)[enter_s] != 1.0)
+                            ((self._mt("m_fresnel")[enter_s] != 0)
+                             & (self._mt("m_rix")[enter_s] != 1.0)
                              ).astype(dt),
                             0.0)
         chromatic = jnp.where(has_enter,
-                              jnp.asarray(self.m_chromatic)[enter_s], 0.0)
+                              self._mt("m_chromatic")[enter_s], 0.0)
         diffuse = jnp.where(has_enter,
-                            jnp.asarray(self.m_diffuse)[enter_s], 0.0)
+                            self._mt("m_diffuse")[enter_s], 0.0)
         transparent = jnp.where(
             has_enter,
-            _dot(jnp.asarray(self.m_transp)[enter_s],
-                 jnp.asarray(self.m_transp)[enter_s]) > 0, False)
-        sigma = jnp.where(has_enter, jnp.asarray(self.m_sigma)[enter_s], 0.0)
+            _dot(self._mt("m_transp")[enter_s],
+                 self._mt("m_transp")[enter_s]) > 0, False)
+        sigma = jnp.where(has_enter, self._mt("m_sigma")[enter_s], 0.0)
         sig2 = sigma * sigma
         on_a = jnp.where(sigma > 0, 1.0 - 0.5 * sig2 / (sig2 + 0.33), 1.0)
         on_b = jnp.where(sigma > 0, 0.45 * sig2 / (sig2 + 0.09), 0.0)
 
-        exit_rix = jnp.asarray(self.m_rix)[exit_s]
+        exit_rix = self._mt("m_rix")[exit_s]
         trix = jnp.where(has_exit,
                          trix / jnp.where(exit_rix != 0, exit_rix, 1.0),
                          trix)
@@ -313,10 +345,14 @@ class Integrator:
 
         # Beer-Lambert absorption of this segment
         # (reference src/scene.c:656-664)
-        transp = jnp.asarray(self.m_transp)[exit_s]
-        absorb = jnp.where((has_exit & (t_safe > 0))[:, None],
-                           jnp.power(jnp.maximum(transp, 0.0),
-                                     t_safe[:, None]), 1.0)
+        transp = self._mt("m_transp")[exit_s]
+        # pow(0, t) has an infinite base-derivative: mask the base so the
+        # opaque (transp=0) lanes keep a clean zero gradient
+        tpos = transp > 0
+        powed = jnp.where(tpos,
+                          jnp.power(jnp.where(tpos, transp, 1.0),
+                                    t_safe[:, None]), 0.0)
+        absorb = jnp.where((has_exit & (t_safe > 0))[:, None], powed, 1.0)
         tint_l = tint * absorb
 
         albedo = self._albedo(enter_s, pos)
@@ -345,10 +381,16 @@ class Integrator:
         di = intensity * diffuse
         di_gate = shade & (di >= self.tmi) & (diffuse > 0)
         surf_d = -exit_nor   # outward shading normal
-        theta_i = jnp.arccos(jnp.clip(-_dot(d, surf_d), -1.0, 1.0))
+        theta_i = safe_acos(-_dot(d, surf_d))
         ray_prj = _norm3(d - surf_d * _dot(d, surf_d)[:, None])
-        rv = argn.fold(argn.seed_from_v3(pos, 3294479285),
-                       argn.seed_from_v3(surf_d, 3247146734))
+        if self.seed_mode == "counter":
+            # frozen-randomness streams for the differentiable path: the
+            # stream id must not depend on scene parameters
+            rv = argn.fold(argn.mix(sid.astype(jnp.uint32), 2654435769),
+                           depth.astype(jnp.uint32))
+        else:
+            rv = argn.fold(argn.seed_from_v3(pos, 3294479285),
+                           argn.seed_from_v3(surf_d, 3247146734))
 
         lum_nee = jnp.zeros((B, 3), dt)
         if self.n_lights:
@@ -394,10 +436,10 @@ class Integrator:
         lum = jnp.zeros((B, 3), dt)
 
         for li in range(self.n_lights):
-            lpos = jnp.asarray(self.l_pos[li])
-            lrad = dt.type(self.l_rad[li])
-            lr = dt.type(self.l_radius[li])
-            lcol = jnp.asarray(self.l_color[li])
+            lpos = self._mt("l_pos")[li]
+            lrad = self._mt("l_rad")[li]
+            lr = self._mt("l_radius")[li]
+            lcol = self._mt("l_color")[li]
 
             # fov cone toward the light (reference src/objects.c:619-637)
             diff = lpos - pos
@@ -405,10 +447,8 @@ class Integrator:
             fov_d = _norm3(diff)
             r2 = lr * lr
             cos_rs = jnp.where(dist2 > r2,
-                               jnp.sqrt(jnp.maximum(1.0 - r2 /
-                                                    jnp.where(dist2 > 0,
-                                                              dist2, 1.0),
-                                                    0.0)),
+                               safe_sqrt(1.0 - r2 /
+                                         jnp.where(dist2 > 0, dist2, 1.0)),
                                -1.0)
             cyl_hgt = 1.0 - cos_rs
             # frame: transposed(con_z(fov_d)) maps cap samples (around +z)
@@ -430,7 +470,7 @@ class Integrator:
                 u2 = argn.uniform(rv[:, None], ctr + 1, dt)
                 phi = 2.0 * jnp.pi * u1
                 z = 1.0 - u2 * cyl_hgt[:, None]
-                sc = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+                sc = safe_sqrt(1.0 - z * z)
                 local = jnp.stack([jnp.sin(phi) * sc, jnp.cos(phi) * sc, z],
                                   axis=-1)                      # [B,S,3]
                 out_d = jnp.einsum("rij,rsj->rsi", frame, local)
@@ -480,12 +520,14 @@ class Integrator:
 
     def _oren_nayar(self, weight, theta_i, on_a, on_b, out_d, nor, ray_prj):
         """reference src/scene.c:394-416."""
-        theta_r = jnp.arccos(jnp.clip(weight, -1.0, 1.0))
+        theta_r = safe_acos(weight)
         proj = _norm3(out_d - nor * _dot(out_d, nor)[:, None])
         cos_phi = -_dot(proj, ray_prj)
+        tan_arg = jnp.minimum(jnp.minimum(theta_i, theta_r),
+                              np.pi / 2 - 1e-6)
         return weight * (on_a + on_b * jnp.maximum(cos_phi, 0.0)
                          * jnp.sin(jnp.maximum(theta_i, theta_r))
-                         * jnp.tan(jnp.minimum(theta_i, theta_r)))
+                         * jnp.tan(tan_arg))
 
     def _sphere_hit(self, c, r, p, d):
         from actinon_tpu.render.tracer import _sphere_first_hit
@@ -514,7 +556,7 @@ class Integrator:
                           + 2 * js[None, :] + 1, dt)
         phi = 2.0 * jnp.pi * u1
         z = 1.0 - u2 * 1.0
-        sc = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+        sc = safe_sqrt(1.0 - z * z)
         local = jnp.stack([jnp.sin(phi) * sc, jnp.cos(phi) * sc, z], -1)
         out_d = jnp.einsum("rij,rkj->rki", frame, local)      # [B,cap,3]
         w = jnp.einsum("rki,ri->rk", out_d, surf_d)
@@ -540,16 +582,17 @@ class Integrator:
     def _oren_nayar_b(self, weight, theta_i, on_a, on_b, out_d, nor,
                       ray_prj):
         """Batched over [B, K] sample axis."""
-        theta_r = jnp.arccos(jnp.clip(weight, -1.0, 1.0))
+        theta_r = safe_acos(weight)
         proj = out_d - nor[:, None, :] * jnp.einsum(
             "rki,ri->rk", out_d, nor)[..., None]
         proj = _norm3(proj)
         cos_phi = -jnp.einsum("rki,ri->rk", proj, ray_prj)
         ti = theta_i[:, None]
+        tan_arg = jnp.minimum(jnp.minimum(ti, theta_r), np.pi / 2 - 1e-6)
         return weight * (on_a[:, None] + on_b[:, None]
                          * jnp.maximum(cos_phi, 0.0)
                          * jnp.sin(jnp.maximum(ti, theta_r))
-                         * jnp.tan(jnp.minimum(ti, theta_r)))
+                         * jnp.tan(tan_arg))
 
     # ------------------------------------------------------------------
 

@@ -6,17 +6,30 @@ vtable hits, reference src/compound.c:215-299, src/objects.c:245-310):
 
   * All single-leaf objects of one analytic family are intersected with one
     vectorized expression over struct-of-arrays tables ([R,S] etc.); the
-    sphere table is processed in chunks with a running min so scenes like
+    sphere table is processed in chunks with a running top-2 so scenes like
     many_spheres.acn (32k spheres) never materialize [R,S].
-  * Composite (CSG) objects run a *crossing walk*: all leaf-surface
-    crossings along the ray are enumerated analytically, and the walk scans
-    them in order until the object's composite inside/outside predicate
-    (the static tree program, evaluated by unrolling) flips -- the
-    boundary.  This replaces the reference's recursive pair-marching
-    (reference src/objects.c:1052-1094) with a bounded, mask-driven
-    `lax.while_loop` -- the SIMD-friendly equivalent.
+  * Composite (CSG) objects run a *sorted crossing walk*: all leaf-surface
+    crossings along the ray are enumerated analytically, sorted by t, and
+    the composite's inside/outside predicate is evaluated after every
+    crossing in one fully vectorized pass (crossing parity per leaf, XOR
+    with the origin-side bits, static unroll of the tree program).  The
+    first predicate flip is the boundary.  This replaces the reference's
+    recursive pair-marching (reference src/objects.c:1052-1094) with
+    straight-line, divergence-free XLA code — no `lax.while_loop`, which
+    also makes the walk reverse-mode differentiable.
+  * Every scene traversal computes the nearest AND second-nearest hit in
+    the same pass (top-2 merge over candidate groups), so the media
+    transition query (coincident-surface resolution, reference
+    src/compound.c:246-299) costs one traversal, not two.
   * The scene structure is static at trace time, so every per-object loop
     here unrolls into straight-line XLA; there is no dynamic dispatch.
+
+Differentiable path: all geometry tables are read through `self._t(...)`,
+which substitutes traced arrays from `self.ovr` when present — gradients
+w.r.t. sphere centers/radii, plane/quadric parameters then flow through
+the analytic hit formulas (implicit-function differentiation is free
+because the hit distance is in closed form).  `self.diff = True` switches
+the SDF march to a fixed-trip scan.
 
 All functions take/return jnp arrays shaped [R] / [R,3] and are meant to be
 called inside a jitted integrator.
@@ -38,12 +51,41 @@ SPHERE_CHUNK = 2048
 
 
 def _norm3(v):
-    ln = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
-    return v / jnp.where(ln > 0, ln, 1.0)
+    # zero-input and sqrt(0) cotangents are masked so reverse-mode AD
+    # never produces 0*inf = NaN (see diff.py)
+    ln2 = jnp.sum(v * v, axis=-1, keepdims=True)
+    pos = ln2 > 0
+    ln = jnp.sqrt(jnp.where(pos, ln2, 1.0))
+    return jnp.where(pos, v / ln, v)
 
 
 def _dot(a, b):
     return jnp.sum(a * b, axis=-1)
+
+
+def safe_sqrt(x):
+    """sqrt with a zero (sub)gradient at x <= 0: under reverse-mode AD the
+    `where`-selected-out branch still back-propagates 1/(2*sqrt(0)) = inf,
+    and 0 * inf = NaN poisons the whole gradient.  Masking the *input*
+    kills the inf at its source."""
+    pos = x > 0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)), 0.0)
+
+
+def safe_acos(x):
+    """arccos with clamped input and finite gradient at |x| >= 1."""
+    inside = jnp.abs(x) < 1.0
+    xin = jnp.where(inside, x, 0.0)
+    return jnp.where(inside, jnp.arccos(xin),
+                     jnp.where(x >= 1.0, 0.0, np.pi))
+
+
+def safe_asin(x):
+    """arcsin with clamped input and finite gradient at |x| >= 1."""
+    inside = jnp.abs(x) < 1.0
+    xin = jnp.where(inside, x, 0.0)
+    return jnp.where(inside, jnp.arcsin(xin),
+                     jnp.where(x >= 1.0, np.pi / 2, -np.pi / 2))
 
 
 class _Tables:
@@ -110,12 +152,16 @@ def _sphere_roots(c, r, p, d):
     q = _dot(pp, pp) - r * r
     disc = s * s - q
     ok = disc >= 0
-    root = jnp.sqrt(jnp.where(ok, disc, 0.0))
+    root = safe_sqrt(jnp.where(ok, disc, 0.0))
     # stable: t0 = -s - root, t1 = -s + root, computed cancellation-free
     ta = -s - root
     tb = -s + root
-    t0 = jnp.where(s < 0, jnp.where(jnp.abs(tb) > 0, q / tb, ta), ta)
-    t1 = jnp.where(s > 0, jnp.where(jnp.abs(ta) > 0, q / ta, tb), tb)
+    tb_nz = jnp.abs(tb) > 0
+    ta_nz = jnp.abs(ta) > 0
+    t0 = jnp.where(s < 0, jnp.where(tb_nz, q / jnp.where(tb_nz, tb, 1.0),
+                                    ta), ta)
+    t1 = jnp.where(s > 0, jnp.where(ta_nz, q / jnp.where(ta_nz, ta, 1.0),
+                                    tb), tb)
     return (jnp.where(ok, t0, INF), jnp.where(ok, t1, INF))
 
 
@@ -127,7 +173,7 @@ def _sphere_first_hit(c, r, p, d, eps):
     q = _dot(pp, pp) - r * r
     disc = s * s - q
     ok = disc >= 0
-    root = jnp.sqrt(jnp.where(ok, disc, 0.0))
+    root = safe_sqrt(jnp.where(ok, disc, 0.0))
     entering = (s < 0) & (q > 0)
     exiting = (s < 0) | (q < 0)
     a = jnp.where(entering, -s - root, jnp.where(exiting, -s + root, INF))
@@ -160,11 +206,15 @@ def _quadric_roots(f, fs, fq, r):
     q = c0 / safe_f
     disc = s * s - q
     ok = disc >= 0
-    root = jnp.sqrt(jnp.where(ok, disc, 0.0))
+    root = safe_sqrt(jnp.where(ok, disc, 0.0))
     ta = -s - root
     tb = -s + root
-    t0 = jnp.where(s < 0, jnp.where(jnp.abs(tb) > 0, q / tb, ta), ta)
-    t1 = jnp.where(s > 0, jnp.where(jnp.abs(ta) > 0, q / ta, tb), tb)
+    tb_nz = jnp.abs(tb) > 0
+    ta_nz = jnp.abs(ta) > 0
+    t0 = jnp.where(s < 0, jnp.where(tb_nz, q / jnp.where(tb_nz, tb, 1.0),
+                                    ta), ta)
+    t1 = jnp.where(s > 0, jnp.where(ta_nz, q / jnp.where(ta_nz, ta, 1.0),
+                                    tb), tb)
     t0 = jnp.where(ok, t0, INF)
     t1 = jnp.where(ok, t1, INF)
     # linear: t = -c0 / (2 fs)
@@ -195,6 +245,18 @@ def _sdf_eval(kind, param, pos):
     raise ValueError(kind)
 
 
+def _top2_cols(a):
+    """Smallest and second-smallest over the last axis of a [R, K] array
+    (K >= 1 static).  Returns (vals [R,2], idx [R,2]); missing columns are
+    (INF, 0)."""
+    R, K = a.shape
+    if K == 1:
+        pad = jnp.full((R, 1), INF, a.dtype)
+        a = jnp.concatenate([a, pad], axis=1)
+    negv, idx = jax.lax.top_k(-a, 2)
+    return -negv, jnp.minimum(idx, K - 1)
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -207,6 +269,13 @@ class Tracer:
         self.dtype = np.dtype(dtype)
         self.eps = eps if eps is not None else \
             (1e-6 if self.dtype == np.float64 else 1e-4)
+        # differentiable-path hooks: `ovr` maps table names to traced
+        # arrays replacing the baked constants (geometry gradients then
+        # flow through the analytic hit formulas); `diff` switches the
+        # data-dependent SDF `lax.while_loop` to a fixed-trip scan, which
+        # is reverse-mode differentiable (while_loop is not).
+        self.ovr = {}
+        self.diff = False
 
         self.n_obj = len(ir.objects)
         self.is_light = np.array([o.is_light for o in ir.objects], bool)
@@ -228,97 +297,128 @@ class Tracer:
         self.trans_hit_jit = jax.jit(self.trans_hit)
         self.shadow_t_jit = jax.jit(self.shadow_t)
 
-    # -- single-leaf family hits ------------------------------------------
+    # -- differentiable table access ----------------------------------------
 
-    def _hit_spheres(self, p, d, matter_only, exclude_oid=None):
-        """[R] rays vs the sphere table, chunked running min.
-        Returns (t[R], sign[R] of nor.d, idx[R] into table)."""
+    def _t(self, name, value):
+        """Table read with optional traced override."""
+        o = self.ovr.get(name)
+        return jnp.asarray(o if o is not None else value)
+
+    def geom_params(self):
+        """Export the differentiable geometry tables as a dict pytree whose
+        keys match the `ovr` names.  SDF leaves are excluded (their march
+        is not differentiated; see _hit_sdf_leaf)."""
+        p = {}
+        if len(self.tb.sph["oid"]):
+            p["sph_c"] = self.tb.sph["c"]
+            p["sph_r"] = self.tb.sph["r"]
+        if len(self.tb.pla["oid"]):
+            p["pla_n"] = self.tb.pla["n"]
+            p["pla_k"] = self.tb.pla["k"]
+        if len(self.tb.qua["oid"]):
+            p["qua_m"] = self.tb.qua["m"]
+            p["qua_m0"] = self.tb.qua["m0"]
+            p["qua_coef"] = self.tb.qua["coef"]
+            p["qua_r"] = self.tb.qua["r"]
+        for ci, (obj, oid) in enumerate(self.tb.composites):
+            for li, lf in enumerate(obj.leaves):
+                pre = f"c{ci}_l{li}_"
+                if lf.family == sir.PLANE:
+                    p[pre + "n"] = lf.n.astype(self.dtype)
+                    p[pre + "k"] = np.asarray(lf.k, self.dtype)
+                elif lf.family == sir.SPHERE:
+                    p[pre + "c"] = lf.c.astype(self.dtype)
+                    p[pre + "r"] = np.asarray(lf.r, self.dtype)
+                elif lf.family == sir.QUADRIC:
+                    p[pre + "m"] = lf.m.astype(self.dtype)
+                    p[pre + "m0"] = lf.m0.astype(self.dtype)
+                    p[pre + "coef"] = lf.coef.astype(self.dtype)
+                    p[pre + "r"] = np.asarray(lf.r, self.dtype)
+        return {k: jnp.asarray(np.asarray(v, self.dtype)) for k, v in
+                p.items()}
+
+    # -- candidate groups ----------------------------------------------------
+    # Each group yields (t [R,k], nor [R,k,3], oid [R,k], sign [R,k]) with
+    # k in {1, 2}; the final merge takes the global top-2 over all groups.
+
+    def _sphere_group(self, p, d, matter_only):
+        """Top-2 hits over the sphere table, chunked running merge."""
         t = self.tb.sph
         S = len(t["oid"])
         if S == 0:
-            R = p.shape[0]
-            z = jnp.full((R,), INF, self.dtype)
-            return z, jnp.zeros((R,), self.dtype), jnp.zeros((R,), jnp.int32)
-        c = jnp.asarray(t["c"]); r = jnp.asarray(t["r"])
+            return None
+        dt = self.dtype
+        R = p.shape[0]
+        c = self._t("sph_c", t["c"])
+        r = self._t("sph_r", t["r"])
         ec = jnp.asarray(t["env_c"]); er = jnp.asarray(t["env_r"])
         light = jnp.asarray(self.is_light[t["oid"]])
         tab_oid = jnp.asarray(t["oid"])
 
-        def chunk_hit(c_k, r_k, ec_k, er_k, light_k, oid_k):
-            # [R, K]
+        def chunk_hits(c_k, r_k, ec_k, er_k, light_k, alive_k):
             a = _sphere_first_hit(c_k[None, :, :], r_k[None, :],
                                   p[:, None, :], d[:, None, :], self.eps)
             gate = _env_gate(ec_k[None, :, :], er_k[None, :],
                              p[:, None, :], d[:, None, :])
-            a = jnp.where(gate, a, INF)
+            a = jnp.where(gate & alive_k[None, :], a, INF)
             if matter_only:
                 a = jnp.where(light_k[None, :], INF, a)
-            if exclude_oid is not None:
-                a = jnp.where(oid_k[None, :] == exclude_oid[:, None], INF, a)
-            k = jnp.argmin(a, axis=1)
-            return jnp.min(a, axis=1), k
+            return a
 
         if S <= SPHERE_CHUNK:
-            t_min, k = chunk_hit(c, r, ec, er, light, tab_oid)
-            idx = k.astype(jnp.int32)
+            a = chunk_hits(c, r, ec, er, light,
+                           jnp.ones((S,), bool))
+            t2, idx2 = _top2_cols(a)
         else:
-            # pad to multiple, scan chunks with running min
             pad = (-S) % SPHERE_CHUNK
-            cp = jnp.concatenate([c, jnp.zeros((pad, 3), self.dtype)])
-            rp = jnp.concatenate([r, jnp.full((pad,), -1.0, self.dtype)])
-            ecp = jnp.concatenate([ec, jnp.zeros((pad, 3), self.dtype)])
-            erp = jnp.concatenate([er, jnp.full((pad,), -1.0, self.dtype)])
+            cp = jnp.concatenate([c, jnp.zeros((pad, 3), dt)])
+            rp = jnp.concatenate([r, jnp.full((pad,), 1.0, dt)])
+            ecp = jnp.concatenate([ec, jnp.zeros((pad, 3), dt)])
+            erp = jnp.concatenate([er, jnp.full((pad,), -1.0, dt)])
             lp = jnp.concatenate([light, jnp.ones((pad,), bool)])
-            op = jnp.concatenate([tab_oid, jnp.full((pad,), -2, jnp.int32)])
+            ap = jnp.concatenate([jnp.ones((S,), bool),
+                                  jnp.zeros((pad,), bool)])
             nch = (S + pad) // SPHERE_CHUNK
-            cs = cp.reshape(nch, SPHERE_CHUNK, 3)
-            rs = rp.reshape(nch, SPHERE_CHUNK)
-            ecs = ecp.reshape(nch, SPHERE_CHUNK, 3)
-            ers = erp.reshape(nch, SPHERE_CHUNK)
-            ls = lp.reshape(nch, SPHERE_CHUNK)
-            os_ = op.reshape(nch, SPHERE_CHUNK)
+            xs = (cp.reshape(nch, SPHERE_CHUNK, 3),
+                  rp.reshape(nch, SPHERE_CHUNK),
+                  ecp.reshape(nch, SPHERE_CHUNK, 3),
+                  erp.reshape(nch, SPHERE_CHUNK),
+                  lp.reshape(nch, SPHERE_CHUNK),
+                  ap.reshape(nch, SPHERE_CHUNK))
 
-            def body(carry, xs):
+            def body(carry, x):
                 best_t, best_i, base = carry
-                ck, rk, eck, erk, lk, ok_ = xs
-                a = _sphere_first_hit(ck[None, :, :], rk[None, :],
-                                      p[:, None, :], d[:, None, :], self.eps)
-                a = jnp.where(rk[None, :] <= 0, INF, a)
-                gate = _env_gate(eck[None, :, :], erk[None, :],
-                                 p[:, None, :], d[:, None, :])
-                a = jnp.where(gate, a, INF)
-                if matter_only:
-                    a = jnp.where(lk[None, :], INF, a)
-                if exclude_oid is not None:
-                    a = jnp.where(ok_[None, :] == exclude_oid[:, None], INF,
-                                  a)
-                tk = jnp.min(a, axis=1)
-                ik = jnp.argmin(a, axis=1).astype(jnp.int32) + base
-                better = tk < best_t
-                return (jnp.where(better, tk, best_t),
-                        jnp.where(better, ik, best_i),
+                ck, rk, eck, erk, lk, ak = x
+                a = chunk_hits(ck, rk, eck, erk, lk, ak)
+                tk, ik = _top2_cols(a)
+                ik = ik.astype(jnp.int32) + base
+                cand_t = jnp.concatenate([best_t, tk], axis=1)
+                cand_i = jnp.concatenate([best_i, ik], axis=1)
+                negv, sel = jax.lax.top_k(-cand_t, 2)
+                return (-negv,
+                        jnp.take_along_axis(cand_i, sel, axis=1),
                         base + SPHERE_CHUNK), None
 
-            R = p.shape[0]
-            init = (jnp.full((R,), INF, self.dtype),
-                    jnp.zeros((R,), jnp.int32), jnp.int32(0))
-            (t_min, idx, _), _ = jax.lax.scan(body, init,
-                                              (cs, rs, ecs, ers, ls, os_))
+            init = (jnp.full((R, 2), INF, dt),
+                    jnp.zeros((R, 2), jnp.int32), jnp.int32(0))
+            (t2, idx2, _), _ = jax.lax.scan(body, init, xs)
 
-        # sign of nor.d at hit: nor ~ (pp + d a) => nor.d ~ s + a
-        cg = c[idx]
-        s = _dot(p - cg, d)
-        sign = jnp.where(s + t_min > 0, 1.0, -1.0).astype(self.dtype)
-        return t_min, sign, idx
+        idx2 = idx2.astype(jnp.int32)
+        cg = c[idx2]                                   # [R,2,3]
+        s = _dot(p[:, None, :] - cg, d[:, None, :])
+        sign = jnp.where(s + t2 > 0, 1.0, -1.0).astype(dt)
+        t_safe = jnp.where(jnp.isfinite(t2), t2, 0.0)
+        nor = _norm3(p[:, None, :] + d[:, None, :] * t_safe[..., None] - cg)
+        return t2, nor, tab_oid[idx2], sign
 
-    def _hit_planes(self, p, d, matter_only, exclude_oid=None):
+    def _plane_group(self, p, d, matter_only):
         t = self.tb.pla
         P = len(t["oid"])
-        R = p.shape[0]
         if P == 0:
-            z = jnp.full((R, 0), INF, self.dtype)
-            return z, jnp.zeros((R, 0), self.dtype)
-        n = jnp.asarray(t["n"]); k = jnp.asarray(t["k"])
+            return None
+        dt = self.dtype
+        n = self._t("pla_n", t["n"])
+        k = self._t("pla_k", t["k"])
         div = jnp.einsum("rj,pj->rp", d, n)
         num = -(jnp.einsum("rj,pj->rp", p, n) + k[None, :])
         offs = num / jnp.where(div != 0, div, 1.0)
@@ -330,21 +430,23 @@ class Tracer:
         if matter_only:
             light = jnp.asarray(self.is_light[t["oid"]])
             a = jnp.where(light[None, :], INF, a)
-        if exclude_oid is not None:
-            a = jnp.where(jnp.asarray(t["oid"])[None, :]
-                          == exclude_oid[:, None], INF, a)
-        sign = jnp.where(div > 0, 1.0, -1.0).astype(self.dtype)
-        return a, sign
+        t2, idx2 = _top2_cols(a)
+        sign_all = jnp.where(div > 0, 1.0, -1.0).astype(dt)
+        sign = jnp.take_along_axis(sign_all, idx2, axis=1)
+        nor = n[idx2]
+        oid = jnp.asarray(t["oid"])[idx2]
+        return t2, nor, oid, sign
 
-    def _hit_quadrics(self, p, d, matter_only, exclude_oid=None):
+    def _quadric_group(self, p, d, matter_only):
         t = self.tb.qua
         Q = len(t["oid"])
-        R = p.shape[0]
         if Q == 0:
-            z = jnp.full((R, 0), INF, self.dtype)
-            return z, jnp.zeros((R, 0), self.dtype)
-        m = jnp.asarray(t["m"]); m0 = jnp.asarray(t["m0"])
-        coef = jnp.asarray(t["coef"]); r = jnp.asarray(t["r"])
+            return None
+        dt = self.dtype
+        m = self._t("qua_m", t["m"])
+        m0 = self._t("qua_m0", t["m0"])
+        coef = self._t("qua_coef", t["coef"])
+        r = self._t("qua_r", t["r"])
         pl, dl, f, fs, fq = _quadric_setup(
             m[None], m0[None], coef[None], p[:, None, :], d[:, None, :])
         t0, t1 = _quadric_roots(f, fs, fq, r[None, :])
@@ -356,21 +458,26 @@ class Tracer:
         if matter_only:
             light = jnp.asarray(self.is_light[t["oid"]])
             a = jnp.where(light[None, :], INF, a)
-        if exclude_oid is not None:
-            a = jnp.where(jnp.asarray(t["oid"])[None, :]
-                          == exclude_oid[:, None], INF, a)
-        # sign of nor.d: grad = 2 M^T (coef*x') with x' = pl + a dl;
-        # nor.d sign = sign((coef*x').dl)
-        a_safe = jnp.where(jnp.isfinite(a), a, 0.0)
-        x = pl + a_safe[..., None] * dl
-        sgn = jnp.sum(coef[None] * x * dl, -1)
-        sign = jnp.where(sgn > 0, 1.0, -1.0).astype(self.dtype)
-        return a, sign
+        t2, idx2 = _top2_cols(a)
+        mg = m[idx2]; m0g = m0[idx2]; coefg = coef[idx2]
+        t_safe = jnp.where(jnp.isfinite(t2), t2, 0.0)
+        x = p[:, None, :] + d[:, None, :] * t_safe[..., None]
+        xl = jnp.einsum("rkij,rkj->rki", mg, x) + m0g
+        grad = jnp.einsum("rki,rkij->rkj", coefg * xl, mg)
+        nor = _norm3(grad)
+        sgn = _dot(grad, d[:, None, :])
+        sign = jnp.where(sgn > 0, 1.0, -1.0).astype(dt)
+        oid = jnp.asarray(t["oid"])[idx2]
+        return t2, nor, oid, sign
 
     def _hit_sdf_leaf(self, lf: sir.Leaf, env_c, env_r, p, d):
         """Bounded bidirectional sphere march in the leaf's local frame
-        (reference src/objects.c:903-959)."""
+        (reference src/objects.c:903-959).  Not differentiated (the march
+        is an iterative root-finder); in diff mode inputs are detached."""
         dt = self.dtype
+        if self.diff:
+            p = jax.lax.stop_gradient(p)
+            d = jax.lax.stop_gradient(d)
         R = p.shape[0]
         m = jnp.asarray(lf.m.astype(dt)); m0 = jnp.asarray(lf.m0.astype(dt))
         # envelope-clipped entry (world space)
@@ -405,12 +512,17 @@ class Tracer:
                                 (dist > 0) | (dist < -1e30))
             return i + 1, offs1, dist, active & ~crossed
 
-        def cond(carry):
-            i, _, _, active = carry
-            return (i < lf.cycles) & jnp.any(active)
-
-        _, offs1, dist, _ = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), jnp.zeros((R,), dt), dist0, ~dead))
+        init = (jnp.int32(0), jnp.zeros((R,), dt), dist0, ~dead)
+        if self.diff:
+            def sbody(carry, _):
+                return body(carry), None
+            (_, offs1, dist, _), _ = jax.lax.scan(sbody, init, None,
+                                                  length=lf.cycles)
+        else:
+            def cond(carry):
+                i, _, _, active = carry
+                return (i < lf.cycles) & jnp.any(active)
+            _, offs1, dist, _ = jax.lax.while_loop(cond, body, init)
 
         hit = (~dead) & (jnp.abs(dist) <= eps)
         q = pl + dl * offs1[:, None]
@@ -429,20 +541,25 @@ class Tracer:
 
     # -- composite objects -------------------------------------------------
 
-    def _leaf_inside(self, lf: sir.Leaf, x):
+    def _leaf_inside(self, lf: sir.Leaf, x, key=None):
         """inside predicate (side == -1) of one leaf at points x [R,3]."""
+        g = (lambda f, v: self._t(key + f, v)) if key else \
+            (lambda f, v: jnp.asarray(v))
         if lf.family == sir.PLANE:
-            n = jnp.asarray(lf.n.astype(self.dtype))
-            return _dot(x, n) + self.dtype.type(lf.k) <= 0
+            n = g("n", lf.n.astype(self.dtype))
+            k = g("k", np.asarray(lf.k, self.dtype))
+            return _dot(x, n) + k <= 0
         if lf.family == sir.SPHERE:
-            c = jnp.asarray(lf.c.astype(self.dtype))
-            return _dot(x - c, x - c) <= self.dtype.type(lf.r * lf.r)
+            c = g("c", lf.c.astype(self.dtype))
+            r = g("r", np.asarray(lf.r, self.dtype))
+            return _dot(x - c, x - c) <= r * r
         if lf.family == sir.QUADRIC:
-            m = jnp.asarray(lf.m.astype(self.dtype))
-            m0 = jnp.asarray(lf.m0.astype(self.dtype))
-            coef = jnp.asarray(lf.coef.astype(self.dtype))
+            m = g("m", lf.m.astype(self.dtype))
+            m0 = g("m0", lf.m0.astype(self.dtype))
+            coef = g("coef", lf.coef.astype(self.dtype))
+            r = g("r", np.asarray(lf.r, self.dtype))
             xl = jnp.einsum("ij,rj->ri", m, x) + m0
-            return jnp.sum(coef * xl * xl, -1) + self.dtype.type(lf.r) <= 0
+            return jnp.sum(coef * xl * xl, -1) + r <= 0
         if lf.family == sir.SDF:
             m = jnp.asarray(lf.m.astype(self.dtype))
             m0 = jnp.asarray(lf.m0.astype(self.dtype))
@@ -450,77 +567,86 @@ class Tracer:
             return _sdf_eval(lf.sdf_kind, lf.sdf_param, xl) <= 0
         raise ValueError(lf.family)
 
-    def _tree_inside(self, obj: sir.ObjIR, x):
-        """Composite inside predicate: static unroll of the tree program."""
-        leaf_vals = [None] * len(obj.leaves)
-
-        def ev(node):
-            if node[0] == "leaf":
-                i = node[1]
-                if leaf_vals[i] is None:
-                    leaf_vals[i] = self._leaf_inside(obj.leaves[i], x)
-                return leaf_vals[i]
-            if node[0] == "and":
-                return ev(node[1]) & ev(node[2])
-            if node[0] == "or":
-                return ev(node[1]) | ev(node[2])
-            if node[0] == "not":
-                return ~ev(node[1])
-            raise ValueError(node)
-
-        return ev(obj.tree)
-
-    def _leaf_crossings(self, lf: sir.Leaf, p, d):
+    def _leaf_crossings(self, lf: sir.Leaf, p, d, key=None):
         """All surface crossings of one leaf along p+td, as a [R, k] array
         (k in {1, 2}); non-crossings are INF."""
+        g = (lambda f, v: self._t(key + f, v)) if key else \
+            (lambda f, v: jnp.asarray(v))
         if lf.family == sir.PLANE:
-            n = jnp.asarray(lf.n.astype(self.dtype))
+            n = g("n", lf.n.astype(self.dtype))
+            k = g("k", np.asarray(lf.k, self.dtype))
             div = _dot(d, n)
-            num = -(_dot(p, n) + self.dtype.type(lf.k))
+            num = -(_dot(p, n) + k)
             t = jnp.where(div != 0, num / jnp.where(div != 0, div, 1.0), INF)
             return t[:, None]
         if lf.family == sir.SPHERE:
-            c = jnp.asarray(lf.c.astype(self.dtype))
-            t0, t1 = _sphere_roots(c, self.dtype.type(lf.r), p, d)
+            c = g("c", lf.c.astype(self.dtype))
+            r = g("r", np.asarray(lf.r, self.dtype))
+            t0, t1 = _sphere_roots(c, r, p, d)
             return jnp.stack([t0, t1], axis=-1)
         if lf.family == sir.QUADRIC:
-            m = jnp.asarray(lf.m.astype(self.dtype))
-            m0 = jnp.asarray(lf.m0.astype(self.dtype))
-            coef = jnp.asarray(lf.coef.astype(self.dtype))
+            m = g("m", lf.m.astype(self.dtype))
+            m0 = g("m0", lf.m0.astype(self.dtype))
+            coef = g("coef", lf.coef.astype(self.dtype))
+            r = g("r", np.asarray(lf.r, self.dtype))
             pl, dl, f, fs, fq = _quadric_setup(m, m0, coef, p, d)
-            t0, t1 = _quadric_roots(f, fs, fq, self.dtype.type(lf.r))
+            t0, t1 = _quadric_roots(f, fs, fq, r)
             return jnp.stack([t0, t1], axis=-1)
         if lf.family == sir.SDF:
             raise NotImplementedError(
                 "SDF leaves inside CSG composites are not supported yet")
         raise ValueError(lf.family)
 
-    def _leaf_normal(self, lf: sir.Leaf, x):
+    def _leaf_normal(self, lf: sir.Leaf, x, key=None):
         """Geometric normal of a leaf at surface points x [R,3], with the
         Neg-ancestor flip baked in."""
+        g = (lambda f, v: self._t(key + f, v)) if key else \
+            (lambda f, v: jnp.asarray(v))
         if lf.family == sir.PLANE:
-            n = jnp.asarray(lf.n.astype(self.dtype))
+            n = g("n", lf.n.astype(self.dtype))
             out = jnp.broadcast_to(n, x.shape)
         elif lf.family == sir.SPHERE:
-            c = jnp.asarray(lf.c.astype(self.dtype))
+            c = g("c", lf.c.astype(self.dtype))
             out = _norm3(x - c)
         elif lf.family == sir.QUADRIC:
-            m = jnp.asarray(lf.m.astype(self.dtype))
-            m0 = jnp.asarray(lf.m0.astype(self.dtype))
-            coef = jnp.asarray(lf.coef.astype(self.dtype))
+            m = g("m", lf.m.astype(self.dtype))
+            m0 = g("m0", lf.m0.astype(self.dtype))
+            coef = g("coef", lf.coef.astype(self.dtype))
             xl = jnp.einsum("ij,rj->ri", m, x) + m0
             out = _norm3(jnp.einsum("ri,ij->rj", coef * xl, m))
         else:
             raise ValueError(lf.family)
         return -out if lf.neg else out
 
-    def _hit_composite(self, obj: sir.ObjIR, p, d):
-        """Crossing walk: scan leaf crossings in t-order until the composite
-        inside predicate flips.  Returns (t[R] eps-backed, nor[R,3])."""
+    @staticmethod
+    def _tree_eval(tree, bits):
+        """Static unroll of the CSG tree program over per-leaf inside bits
+        (bits[..., L] bool, leaf axis last)."""
+        if tree[0] == "leaf":
+            return bits[..., tree[1]]
+        if tree[0] == "and":
+            return Tracer._tree_eval(tree[1], bits) \
+                & Tracer._tree_eval(tree[2], bits)
+        if tree[0] == "or":
+            return Tracer._tree_eval(tree[1], bits) \
+                | Tracer._tree_eval(tree[2], bits)
+        if tree[0] == "not":
+            return ~Tracer._tree_eval(tree[1], bits)
+        raise ValueError(tree)
+
+    def _hit_composite(self, obj: sir.ObjIR, p, d, ci=None):
+        """Sorted crossing walk, fully vectorized: enumerate all forward
+        leaf crossings, sort by t, XOR crossing parity per leaf with the
+        origin-side bits, evaluate the tree after every crossing, take the
+        first flip.  Returns (t[R] eps-backed, nor[R,3])."""
         R = p.shape[0]
         dt = self.dtype
+        L = len(obj.leaves)
+        keys = [f"c{ci}_l{li}_" if ci is not None else None
+                for li in range(L)]
         crossings = jnp.concatenate(
-            [self._leaf_crossings(lf, p, d) for lf in obj.leaves], axis=-1)
+            [self._leaf_crossings(lf, p, d, key=keys[li])
+             for li, lf in enumerate(obj.leaves)], axis=-1)
         leaf_of_col = []
         for li, lf in enumerate(obj.leaves):
             k = 1 if lf.family == sir.PLANE else 2
@@ -529,34 +655,34 @@ class Tracer:
         NC = crossings.shape[-1]
         # only forward crossings count
         crossings = jnp.where(crossings > 0, crossings, INF)
-        step_eps = dt.type(self.eps)
 
-        s0 = self._tree_inside(obj, p)
+        order = jnp.argsort(crossings, axis=-1)           # [R, NC]
+        t_sorted = jnp.take_along_axis(crossings, order, axis=-1)
+        leaf_sorted = leaf_of_col[order]                   # [R, NC]
+        valid = jnp.isfinite(t_sorted)
 
-        def cond(carry):
-            i, t_cur, s_cur, active, hit_t, hit_leaf = carry
-            return (i < NC) & jnp.any(active)
+        # crossing parity per leaf after each sorted crossing
+        onehot = (leaf_sorted[..., None]
+                  == jnp.arange(L, dtype=jnp.int32)) & valid[..., None]
+        parity = (jnp.cumsum(onehot.astype(jnp.int8), axis=1)
+                  & np.int8(1)).astype(bool)               # [R, NC, L]
 
-        def body(carry):
-            i, t_cur, s_cur, active, hit_t, hit_leaf = carry
-            cand = jnp.where(crossings > t_cur[:, None], crossings, INF)
-            col = jnp.argmin(cand, axis=-1)
-            t_next = jnp.min(cand, axis=-1)
-            alive = active & jnp.isfinite(t_next)
-            x = p + d * (t_next + step_eps)[:, None]
-            s_new = self._tree_inside(obj, x)
-            flip = alive & (s_new != s_cur)
-            hit_t = jnp.where(flip, t_next, hit_t)
-            hit_leaf = jnp.where(flip, leaf_of_col[col], hit_leaf)
-            t_cur = jnp.where(alive, t_next, t_cur)
-            s_cur = jnp.where(alive, s_new, s_cur)
-            active = alive & ~flip
-            return i + 1, t_cur, s_cur, active, hit_t, hit_leaf
+        bits0 = jnp.stack(
+            [self._leaf_inside(lf, p, key=keys[li])
+             for li, lf in enumerate(obj.leaves)], axis=-1)  # [R, L]
+        bits = bits0[:, None, :] ^ parity                  # [R, NC, L]
 
-        init = (jnp.int32(0), jnp.zeros((R,), dt), s0,
-                jnp.ones((R,), bool), jnp.full((R,), INF, dt),
-                jnp.full((R,), -1, jnp.int32))
-        _, _, _, _, hit_t, hit_leaf = jax.lax.while_loop(cond, body, init)
+        val = self._tree_eval(obj.tree, bits)              # [R, NC]
+        val0 = self._tree_eval(obj.tree, bits0)            # [R]
+        prev = jnp.concatenate([val0[:, None], val[:, :-1]], axis=1)
+        flip = (val != prev) & valid
+        has = jnp.any(flip, axis=1)
+        first = jnp.argmax(flip, axis=1)
+        hit_t = jnp.where(
+            has, jnp.take_along_axis(t_sorted, first[:, None], 1)[:, 0], INF)
+        hit_leaf = jnp.where(
+            has, jnp.take_along_axis(leaf_sorted, first[:, None], 1)[:, 0],
+            -1)
 
         # envelope culling (object-level)
         if obj.env_c is not None and obj.env_r > 0:
@@ -569,96 +695,110 @@ class Tracer:
         nor = jnp.zeros((R, 3), dt)
         for li, lf in enumerate(obj.leaves):
             mask = hit_leaf == li
-            nl = self._leaf_normal(lf, hx)
+            nl = self._leaf_normal(lf, hx, key=keys[li])
             nor = jnp.where(mask[:, None], nl, nor)
         return jnp.where(jnp.isfinite(hit_t), hit_t - self.eps, INF), nor
 
     # -- public queries ----------------------------------------------------
 
-    def nearest(self, p, d, matter_only=False, with_normal=True,
-                rng_rough=True, exclude_oid=None):
-        """Nearest hit over the whole scene.
-        Returns (t[R], nor[R,3], oid[R]; oid=-1 where miss)."""
+    def _groups(self, p, d, matter_only):
+        """All candidate groups as (t [R,k], nor [R,k,3], oid [R,k],
+        sign [R,k]) tuples."""
         dt = self.dtype
-        p = jnp.asarray(p, dt)
-        d = jnp.asarray(d, dt)
         R = p.shape[0]
-
-        ts, signs, nors, oids = [], [], [], []
-
-        t_s, sign_s, idx_s = self._hit_spheres(p, d, matter_only,
-                                               exclude_oid)
-        ts.append(t_s); signs.append(sign_s)
-        oid_s = jnp.asarray(self.tb.sph["oid"])[idx_s] \
-            if len(self.tb.sph["oid"]) else jnp.zeros((R,), jnp.int32)
-        # sphere normal (from table gather)
-        if len(self.tb.sph["oid"]):
-            cg = jnp.asarray(self.tb.sph["c"])[idx_s]
-            t_safe = jnp.where(jnp.isfinite(t_s), t_s, 0.0)
-            nor_s = _norm3(p + d * t_safe[:, None] - cg)
-        else:
-            nor_s = jnp.zeros((R, 3), dt)
-        nors.append(nor_s); oids.append(oid_s)
-
-        a_p, sign_p = self._hit_planes(p, d, matter_only, exclude_oid)
-        if a_p.shape[1]:
-            k = jnp.argmin(a_p, axis=1)
-            t_p = jnp.min(a_p, axis=1)
-            n_tab = jnp.asarray(self.tb.pla["n"])
-            ts.append(t_p); signs.append(jnp.take_along_axis(
-                sign_p, k[:, None], 1)[:, 0])
-            nors.append(n_tab[k])
-            oids.append(jnp.asarray(self.tb.pla["oid"])[k])
-
-        a_q, sign_q = self._hit_quadrics(p, d, matter_only, exclude_oid)
-        if a_q.shape[1]:
-            k = jnp.argmin(a_q, axis=1)
-            t_q = jnp.min(a_q, axis=1)
-            m = jnp.asarray(self.tb.qua["m"])[k]
-            m0 = jnp.asarray(self.tb.qua["m0"])[k]
-            coef = jnp.asarray(self.tb.qua["coef"])[k]
-            t_safe = jnp.where(jnp.isfinite(t_q), t_q, 0.0)
-            x = p + d * t_safe[:, None]
-            xl = jnp.einsum("rij,rj->ri", m, x) + m0
-            nq = _norm3(jnp.einsum("ri,rij->rj", coef * xl, m))
-            ts.append(t_q); signs.append(jnp.take_along_axis(
-                sign_q, k[:, None], 1)[:, 0])
-            nors.append(nq)
-            oids.append(jnp.asarray(self.tb.qua["oid"])[k])
+        out = []
+        for fam in (self._sphere_group, self._plane_group,
+                    self._quadric_group):
+            g = fam(p, d, matter_only)
+            if g is not None:
+                out.append(g)
 
         for lf, oid, env_c, env_r in self.tb.sdf:
             if matter_only and self.is_light[oid]:
                 continue
             a, nor = self._hit_sdf_leaf(lf, env_c, env_r, p, d)
-            if exclude_oid is not None:
-                a = jnp.where(exclude_oid == oid, INF, a)
-            ts.append(a)
-            signs.append(jnp.where(_dot(nor, d) > 0, 1.0, -1.0).astype(dt))
-            nors.append(nor)
-            oids.append(jnp.full((R,), oid, jnp.int32))
+            sign = jnp.where(_dot(nor, d) > 0, 1.0, -1.0).astype(dt)
+            out.append((a[:, None], nor[:, None, :],
+                        jnp.full((R, 1), oid, jnp.int32), sign[:, None]))
 
-        for obj, oid in self.tb.composites:
+        for ci, (obj, oid) in enumerate(self.tb.composites):
             if matter_only and self.is_light[oid]:
                 continue
-            a, nor = self._hit_composite(obj, p, d)
-            if exclude_oid is not None:
-                a = jnp.where(exclude_oid == oid, INF, a)
-            ts.append(a)
-            signs.append(jnp.where(_dot(nor, d) > 0, 1.0, -1.0).astype(dt))
-            nors.append(nor)
-            oids.append(jnp.full((R,), oid, jnp.int32))
+            a, nor = self._hit_composite(obj, p, d, ci=ci)
+            sign = jnp.where(_dot(nor, d) > 0, 1.0, -1.0).astype(dt)
+            out.append((a[:, None], nor[:, None, :],
+                        jnp.full((R, 1), oid, jnp.int32), sign[:, None]))
+        return out
 
-        T = jnp.stack(ts, axis=-1)            # [R, G]
-        win = jnp.argmin(T, axis=-1)
-        t_min = jnp.min(T, axis=-1)
-        nor = jnp.zeros((R, 3), dt)
-        oid = jnp.full((R,), -1, jnp.int32)
-        sign = jnp.zeros((R,), dt)
-        for g in range(T.shape[-1]):
-            mask = (win == g) & jnp.isfinite(t_min)
-            nor = jnp.where(mask[:, None], nors[g], nor)
-            oid = jnp.where(mask, oids[g], oid)
-            sign = jnp.where(mask, signs[g], sign)
+    def nearest2(self, p, d, matter_only=False, rng_rough=True):
+        """Nearest AND second-nearest hit over the whole scene, one pass.
+        Returns (t1, nor1, oid1, sign1, t2, nor2, oid2, sign2); oid=-1 and
+        nor=0 where miss.  The second hit is the coincident-surface
+        candidate for media-transition resolution (reference
+        src/compound.c:246-299)."""
+        dt = self.dtype
+        p = jnp.asarray(p, dt)
+        d = jnp.asarray(d, dt)
+        R = p.shape[0]
+
+        groups = self._groups(p, d, matter_only)
+        if not groups:
+            z1 = jnp.full((R,), INF, dt)
+            z3 = jnp.zeros((R, 3), dt)
+            zi = jnp.full((R,), -1, jnp.int32)
+            zs = jnp.zeros((R,), dt)
+            return z1, z3, zi, zs, z1, z3, zi, zs
+
+        T = jnp.concatenate([g[0] for g in groups], axis=1)      # [R, E]
+        NOR = jnp.concatenate([g[1] for g in groups], axis=1)    # [R, E, 3]
+        OID = jnp.concatenate([g[2] for g in groups], axis=1)
+        SGN = jnp.concatenate([g[3] for g in groups], axis=1)
+
+        t2v, sel = _top2_cols(T)                                  # [R, 2]
+        nor = jnp.take_along_axis(NOR, sel[..., None], axis=1)
+        oid = jnp.take_along_axis(OID, sel, axis=1)
+        sgn = jnp.take_along_axis(SGN, sel, axis=1)
+
+        fin = jnp.isfinite(t2v)
+        nor = jnp.where(fin[..., None], nor, 0.0)
+        oid = jnp.where(fin, oid, -1)
+        sgn = jnp.where(fin, sgn, 0.0)
+
+        nor1 = nor[:, 0, :]
+        if rng_rough and np.any(self.roughness > 0):
+            nor1 = self._perturb(nor1, p, d, t2v[:, 0], oid[:, 0])
+
+        return (t2v[:, 0], nor1, oid[:, 0], sgn[:, 0],
+                t2v[:, 1], nor[:, 1, :], oid[:, 1], sgn[:, 1])
+
+    def nearest(self, p, d, matter_only=False, rng_rough=True):
+        """Nearest hit over the whole scene.
+        Returns (t[R], nor[R,3], oid[R], sign[R]; oid=-1 where miss)."""
+        dt = self.dtype
+        p = jnp.asarray(p, dt)
+        d = jnp.asarray(d, dt)
+        R = p.shape[0]
+
+        groups = self._groups(p, d, matter_only)
+        if not groups:
+            return (jnp.full((R,), INF, dt), jnp.zeros((R, 3), dt),
+                    jnp.full((R,), -1, jnp.int32), jnp.zeros((R,), dt))
+
+        T = jnp.concatenate([g[0] for g in groups], axis=1)
+        NOR = jnp.concatenate([g[1] for g in groups], axis=1)
+        OID = jnp.concatenate([g[2] for g in groups], axis=1)
+        SGN = jnp.concatenate([g[3] for g in groups], axis=1)
+
+        sel = jnp.argmin(T, axis=1)
+        t_min = jnp.min(T, axis=1)
+        nor = jnp.take_along_axis(NOR, sel[:, None, None], axis=1)[:, 0, :]
+        oid = jnp.take_along_axis(OID, sel[:, None], axis=1)[:, 0]
+        sign = jnp.take_along_axis(SGN, sel[:, None], axis=1)[:, 0]
+
+        fin = jnp.isfinite(t_min)
+        nor = jnp.where(fin[:, None], nor, 0.0)
+        oid = jnp.where(fin, oid, -1)
+        sign = jnp.where(fin, sign, 0.0)
 
         if rng_rough and np.any(self.roughness > 0):
             nor = self._perturb(nor, p, d, t_min, oid)
@@ -683,24 +823,15 @@ class Tracer:
 
     # -- transition query (media boundaries) -------------------------------
 
-    def trans_hit(self, p, d):
-        """scene_s_trans_hit + compound_s_ray_trans_hit semantics
-        (reference src/scene.c:362-382, src/compound.c:246-299):
-        nearest hit over light+matter with coincident-surface resolution.
-        Returns (t, exit_nor [anti-ray], enter_oid, exit_oid)."""
-        t, nor, oid, sign = self.nearest(p, d, matter_only=False)
+    def _trans_from_pair(self, hits):
+        """Assemble transition data from a nearest2 result: a second object
+        whose hit lies within eps of the minimum fills the other role (the
+        glass/wine media-transition case, reference src/compound.c:284-297)."""
+        t, nor, oid, sign, t2, nor2, oid2, sign2 = hits
         exiting = sign > 0
         exit_nor = jnp.where(exiting[:, None], nor, -nor)
         enter = jnp.where(~exiting & (oid >= 0), oid, -1)
         exit_ = jnp.where(exiting & (oid >= 0), oid, -1)
-
-        # coincident-surface merge within f3_eps: a second object whose hit
-        # lies within eps of the minimum fills the other role (the
-        # glass/wine media-transition case).  We re-scan groups cheaply by
-        # reusing nearest() per-group arrays; for simplicity run a second
-        # nearest with the winning object's hits masked out and check
-        # eps-closeness.
-        t2, nor2, oid2, sign2 = self._second_nearest(p, d, oid, t)
         close = jnp.isfinite(t) & jnp.isfinite(t2) & (jnp.abs(t2 - t)
                                                       < 2 * self.eps)
         exiting2 = sign2 > 0
@@ -708,30 +839,19 @@ class Tracer:
         exit_ = jnp.where(close & exiting2 & (exit_ < 0), oid2, exit_)
         return t, exit_nor, enter, exit_
 
-    def _second_nearest(self, p, d, exclude_oid, t_min, matter_only=False):
-        """Nearest hit over all objects EXCEPT the given one — used to find
-        surfaces eps-coincident with the first hit (the glass/wine media
-        transition, reference src/compound.c:284-297)."""
-        return self.nearest(p, d, matter_only=matter_only, rng_rough=False,
-                            exclude_oid=exclude_oid)
+    def trans_hit(self, p, d):
+        """scene_s_trans_hit + compound_s_ray_trans_hit semantics
+        (reference src/scene.c:362-382, src/compound.c:246-299):
+        nearest hit over light+matter with coincident-surface resolution,
+        computed in a single scene traversal.
+        Returns (t, exit_nor [anti-ray], enter_oid, exit_oid)."""
+        return self._trans_from_pair(self.nearest2(p, d, matter_only=False))
 
     def trans_hit_matter(self, p, d):
         """Transition hit over the matter compound only — the path-ray
         trace (reference src/scene.c:607 uses
         compound_s_ray_trans_hit(scene->matter, ...))."""
-        t, nor, oid, sign = self.nearest(p, d, matter_only=True)
-        exiting = sign > 0
-        exit_nor = jnp.where(exiting[:, None], nor, -nor)
-        enter = jnp.where(~exiting & (oid >= 0), oid, -1)
-        exit_ = jnp.where(exiting & (oid >= 0), oid, -1)
-        t2, nor2, oid2, sign2 = self._second_nearest(p, d, oid, t,
-                                                     matter_only=True)
-        close = jnp.isfinite(t) & jnp.isfinite(t2) & (jnp.abs(t2 - t)
-                                                      < 2 * self.eps)
-        exiting2 = sign2 > 0
-        enter = jnp.where(close & ~exiting2 & (enter < 0), oid2, enter)
-        exit_ = jnp.where(close & exiting2 & (exit_ < 0), oid2, exit_)
-        return t, exit_nor, enter, exit_
+        return self._trans_from_pair(self.nearest2(p, d, matter_only=True))
 
     def shadow_nearest_t(self, p, d):
         """Nearest matter hit distance (the NEE shadow test uses

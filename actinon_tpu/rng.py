@@ -64,7 +64,10 @@ def seed_from_v3(pos, salt):
     """Deterministic stream id from a 3-D position, the v3d_s_random_seed
     analog (reference src/vectors.h:177-190): hash of the (f32) coordinate
     bits, mixed per component with distinct salts."""
-    p32 = jnp.asarray(pos, jnp.float32)
+    import jax
+    # seeding is bit-twiddling on the coordinates: never differentiable,
+    # and bitcasts have no AD rule — detach explicitly
+    p32 = jax.lax.stop_gradient(jnp.asarray(pos, jnp.float32))
     bx = jnp.asarray(p32[..., 0]).view(jnp.uint32)
     by = jnp.asarray(p32[..., 1]).view(jnp.uint32)
     bz = jnp.asarray(p32[..., 2]).view(jnp.uint32)

@@ -1,0 +1,199 @@
+"""Differentiable path: jax.grad vs central finite differences.
+
+The diff renderer freezes its randomness in counters (sample_id, depth)
+so the estimator is a smooth function of the scene parameters wherever no
+visibility boundary is crossed; central differences must then match the
+AD gradient (SURVEY.md section 7 step 6).
+"""
+
+import numpy as np
+import pytest
+import jax
+
+from actinon_tpu.render.diff import DiffRenderer
+from actinon_tpu.render.integrator import Integrator
+from actinon_tpu.render.tracer import Tracer
+from actinon_tpu.scene import ir as sir
+from actinon_tpu.scene.objects import (
+    PairInside, Plane, Scene, Sphere, apply_material, v3,
+)
+
+
+def make_scene(glass=False, lens=False, path_samples=0, direct_samples=4,
+               depth=6, sigma=0.0):
+    sc = Scene()
+    cfg = sc.cfg
+    cfg.image_width, cfg.image_height = 8, 6
+    cfg.trace_depth = depth
+    cfg.direct_samples = direct_samples
+    cfg.path_samples = path_samples
+    cfg.camera_position = (0.0, -8.0, 3.0)
+    cfg.camera_view_direction = (0.0, 8.0, -2.0)
+    cfg.camera_top_direction = (0.0, 0.0, 1.0)
+    cfg.camera_focal_length = 1.2
+    cfg.background_color = (0.1, 0.12, 0.2)
+
+    lamp = Sphere(0.5)
+    lamp.prp.radiance = 25.0
+    lamp.move(v3(2, -1, 5))
+    sc.push(lamp)
+
+    floor = Plane()
+    floor.prp.sigma = sigma
+    sc.push(floor)
+
+    ball = Sphere(1.0)
+    if glass:
+        apply_material(ball, "glass")
+    ball.move(v3(-0.8, 0, 1.2))
+    sc.push(ball)
+
+    if lens:
+        # CSG lens: intersection of two offset spheres
+        a = Sphere(1.4)
+        a.move(v3(2.0, 1.0, 0.4))
+        b = Sphere(1.4)
+        b.move(v3(2.0, 1.0, 1.6))
+        sc.push(PairInside(a, b))
+    return sc
+
+
+def setup(sc, n=24, seed=0, sel_mode="uniform"):
+    # uniform branch selection: theta-independent probabilities make the
+    # realized estimator FD-differentiable (see diff.py sel_mode)
+    ir = sir.compile_scene(sc)
+    tr = Tracer(ir, dtype=np.float64)
+    integ = Integrator(tr, batch=n)
+    dr = DiffRenderer(integ, sel_mode=sel_mode)
+    rng = np.random.default_rng(seed)
+    pos = np.stack([rng.uniform(0, sc.cfg.image_width, n),
+                    rng.uniform(0, sc.cfg.image_height, n)], -1)
+    q0 = dr.primary(pos)
+    return dr, q0
+
+
+def fd_check(dr, q0, leaf_path, flat_idx, delta, rtol, atol=1e-9):
+    """Compare one AD gradient entry against central FD of the loss."""
+    params = dr.params()
+    loss_fn = lambda ps: dr.render_loss(ps, q0)
+    val, grads = jax.value_and_grad(loss_fn)(params)
+
+    group, key = leaf_path
+    leaf = np.asarray(params[group][key], np.float64)
+    g_ad = float(np.asarray(grads[group][key]).reshape(-1)[flat_idx])
+
+    def eval_at(eps):
+        pert = leaf.reshape(-1).copy()
+        pert[flat_idx] += eps
+        ps = {g: dict(v) for g, v in params.items()}
+        ps[group][key] = pert.reshape(leaf.shape)
+        return float(loss_fn(ps))
+
+    g_fd = (eval_at(delta) - eval_at(-delta)) / (2 * delta)
+    assert np.isfinite(val)
+    assert abs(g_ad - g_fd) <= atol + rtol * max(abs(g_ad), abs(g_fd)), \
+        (key, flat_idx, g_ad, g_fd)
+    return g_ad, g_fd
+
+
+class TestMaterialGrads:
+    def test_light_radiance(self):
+        dr, q0 = setup(make_scene())
+        g_ad, g_fd = fd_check(dr, q0, ("mat", "l_rad"), 0, 1e-3, 1e-5)
+        assert g_ad > 0   # brighter light -> brighter image
+
+    def test_albedo(self):
+        dr, q0 = setup(make_scene())
+        # floor (object 1) green channel
+        g_ad, _ = fd_check(dr, q0, ("mat", "m_color"), 1 * 3 + 1, 1e-4,
+                           1e-4)
+        assert g_ad > 0
+
+    def test_background(self):
+        dr, q0 = setup(make_scene())
+        fd_check(dr, q0, ("mat", "background"), 2, 1e-4, 1e-5)
+
+    def test_light_position(self):
+        dr, q0 = setup(make_scene())
+        fd_check(dr, q0, ("mat", "l_pos"), 2, 1e-4, 5e-3)
+
+    def test_diffuse_weight(self):
+        # the sample count floor(direct_samples * intensity * diffuse)
+        # (reference src/scene.c:553-554) is a step function of the
+        # diffuse weight: perturb away from an integer boundary
+        sc = make_scene()
+        sc.matter.elements[0].prp.diffuse_reflectivity = 0.7
+        dr, q0 = setup(sc)
+        fd_check(dr, q0, ("mat", "m_diffuse"), 1, 1e-4, 5e-3)
+
+
+class TestRefractionGrads:
+    def test_refractive_index(self):
+        dr, q0 = setup(make_scene(glass=True), n=32, seed=1)
+        # glass ball is object 2
+        fd_check(dr, q0, ("mat", "m_rix"), 2, 1e-5, 2e-2)
+
+    def test_transparency(self):
+        dr, q0 = setup(make_scene(glass=True), n=32, seed=1)
+        fd_check(dr, q0, ("mat", "m_transp"), 2 * 3 + 0, 1e-5, 2e-2)
+
+
+class TestGeometryGrads:
+    def test_sphere_radius(self):
+        dr, q0 = setup(make_scene())
+        # sphere table: lamp is row 0, diffuse ball row 1 (matter order)
+        fd_check(dr, q0, ("geom", "sph_r"), 1, 1e-5, 2e-2)
+
+    def test_sphere_center(self):
+        dr, q0 = setup(make_scene())
+        fd_check(dr, q0, ("geom", "sph_c"), 1 * 3 + 2, 1e-5, 2e-2)
+
+    def test_plane_offset(self):
+        dr, q0 = setup(make_scene())
+        fd_check(dr, q0, ("geom", "pla_k"), 0, 1e-5, 2e-2)
+
+    def test_csg_leaf_radius(self):
+        dr, q0 = setup(make_scene(lens=True), n=32, seed=2)
+        params = dr.params()
+        assert "c0_l0_r" in params["geom"]
+        fd_check(dr, q0, ("geom", "c0_l0_r"), 0, 1e-5, 3e-2)
+
+
+class TestPathTracing:
+    def test_path_albedo_grad(self):
+        sc = make_scene(path_samples=2, depth=14, sigma=0.29)
+        dr, q0 = setup(sc, n=24, seed=3)
+        fd_check(dr, q0, ("mat", "m_color"), 1 * 3 + 0, 1e-4, 5e-3)
+
+
+def test_radiance_matches_forward_expectation():
+    """With a single active branch chain (no branching), the stochastic
+    path replay must agree with the wavefront integrator exactly when both
+    use counter seeding."""
+    from actinon_tpu.render.integrator import RayQueue
+
+    sc = make_scene()   # diffuse only: no specular children at all
+    ir = sir.compile_scene(sc)
+    tr = Tracer(ir, dtype=np.float64)
+    integ = Integrator(tr, batch=64)
+    dr = DiffRenderer(integ)
+
+    rng = np.random.default_rng(5)
+    n = 32
+    pos = np.stack([rng.uniform(0, sc.cfg.image_width, n),
+                    rng.uniform(0, sc.cfg.image_height, n)], -1)
+    q0 = dr.primary(pos)
+    rad = np.asarray(dr.radiance(dr.params(), q0))
+
+    integ.seed_mode = "counter"
+    integ._step_normal = jax.jit(
+        lambda q: integ._step(q, path_ray=False))
+    from actinon_tpu.render.driver import camera_rays
+    p, d = camera_rays(ir, pos, np.float64)
+    primary = RayQueue(p, d, np.ones(n, np.float64),
+                       np.ones((n, 3), np.float64),
+                       np.full(n, sc.cfg.trace_depth, np.int32),
+                       np.arange(n, dtype=np.int32))
+    integ.device_drain = False
+    acc = integ.run(primary, n)
+    np.testing.assert_allclose(rad, acc, rtol=1e-8, atol=1e-10)
