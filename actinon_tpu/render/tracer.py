@@ -248,13 +248,16 @@ def _sdf_eval(kind, param, pos):
 def _top2_cols(a):
     """Smallest and second-smallest over the last axis of a [R, K] array
     (K >= 1 static).  Returns (vals [R,2], idx [R,2]); missing columns are
-    (INF, 0)."""
+    (INF, 0).  Two argmin passes — NOT lax.top_k, which lowers to a full
+    sort on TPU and is an order of magnitude slower."""
     R, K = a.shape
-    if K == 1:
-        pad = jnp.full((R, 1), INF, a.dtype)
-        a = jnp.concatenate([a, pad], axis=1)
-    negv, idx = jax.lax.top_k(-a, 2)
-    return -negv, jnp.minimum(idx, K - 1)
+    i1 = jnp.argmin(a, axis=1).astype(jnp.int32)
+    t1 = jnp.min(a, axis=1)
+    cols = jnp.arange(K, dtype=jnp.int32)
+    a2 = jnp.where(cols[None, :] == i1[:, None], INF, a)
+    i2 = jnp.argmin(a2, axis=1).astype(jnp.int32)
+    t2 = jnp.min(a2, axis=1)
+    return jnp.stack([t1, t2], axis=1), jnp.stack([i1, i2], axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -394,8 +397,8 @@ class Tracer:
                 ik = ik.astype(jnp.int32) + base
                 cand_t = jnp.concatenate([best_t, tk], axis=1)
                 cand_i = jnp.concatenate([best_i, ik], axis=1)
-                negv, sel = jax.lax.top_k(-cand_t, 2)
-                return (-negv,
+                merged_t, sel = _top2_cols(cand_t)
+                return (merged_t,
                         jnp.take_along_axis(cand_i, sel, axis=1),
                         base + SPHERE_CHUNK), None
 
@@ -635,54 +638,69 @@ class Tracer:
         raise ValueError(tree)
 
     def _hit_composite(self, obj: sir.ObjIR, p, d, ci=None):
-        """Sorted crossing walk, fully vectorized: enumerate all forward
-        leaf crossings, sort by t, XOR crossing parity per leaf with the
-        origin-side bits, evaluate the tree after every crossing, take the
-        first flip.  Returns (t[R] eps-backed, nor[R,3])."""
+        """Crossing-parity walk, fully vectorized and sort-free: for every
+        forward leaf crossing j, the composite's inside bits just before
+        and just after t_j are the origin-side bits XOR the parity of each
+        leaf's crossings at t < t_j (resp. t <= t_j).  A crossing is the
+        boundary iff the tree value differs across it; the hit is the
+        minimum such t.  Coincident crossings are evaluated jointly on
+        both sides, reproducing the reference's eps-shell behavior
+        (reference src/objects.c:1052-1094).  No sort, no while_loop —
+        pure compare/XOR/min VPU code, reverse-mode differentiable.
+        Returns (t[R] eps-backed, nor[R,3])."""
         R = p.shape[0]
         dt = self.dtype
         L = len(obj.leaves)
         keys = [f"c{ci}_l{li}_" if ci is not None else None
                 for li in range(L)]
-        crossings = jnp.concatenate(
-            [self._leaf_crossings(lf, p, d, key=keys[li])
-             for li, lf in enumerate(obj.leaves)], axis=-1)
+        cross_per_leaf = [self._leaf_crossings(lf, p, d, key=keys[li])
+                          for li, lf in enumerate(obj.leaves)]
+        crossings = jnp.concatenate(cross_per_leaf, axis=-1)
+        cols_of_leaf = []
         leaf_of_col = []
+        c0 = 0
         for li, lf in enumerate(obj.leaves):
             k = 1 if lf.family == sir.PLANE else 2
+            cols_of_leaf.append(list(range(c0, c0 + k)))
             leaf_of_col += [li] * k
-        leaf_of_col = jnp.asarray(np.array(leaf_of_col, np.int32))
+            c0 += k
+        leaf_of_col = np.array(leaf_of_col, np.int32)
         NC = crossings.shape[-1]
         # only forward crossings count
         crossings = jnp.where(crossings > 0, crossings, INF)
+        valid = jnp.isfinite(crossings)
 
-        order = jnp.argsort(crossings, axis=-1)           # [R, NC]
-        t_sorted = jnp.take_along_axis(crossings, order, axis=-1)
-        leaf_sorted = leaf_of_col[order]                   # [R, NC]
-        valid = jnp.isfinite(t_sorted)
-
-        # crossing parity per leaf after each sorted crossing
-        onehot = (leaf_sorted[..., None]
-                  == jnp.arange(L, dtype=jnp.int32)) & valid[..., None]
-        parity = (jnp.cumsum(onehot.astype(jnp.int8), axis=1)
-                  & np.int8(1)).astype(bool)               # [R, NC, L]
+        # per-leaf crossing parity before/after each candidate crossing j:
+        # leaf l contributes <= 2 columns, so the parity is one or two
+        # broadcast compares + XOR per leaf — [R, NC] each
+        par_after, par_before = [], []
+        for cs in cols_of_leaf:
+            pa = jnp.zeros((R, NC), bool)
+            pb = jnp.zeros((R, NC), bool)
+            for c in cs:
+                tc = crossings[:, c:c + 1]
+                vc = valid[:, c:c + 1]
+                pa = pa ^ ((tc <= crossings) & vc)
+                pb = pb ^ ((tc < crossings) & vc)
+            par_after.append(pa)
+            par_before.append(pb)
+        par_after = jnp.stack(par_after, axis=-1)    # [R, NC, L]
+        par_before = jnp.stack(par_before, axis=-1)
 
         bits0 = jnp.stack(
             [self._leaf_inside(lf, p, key=keys[li])
              for li, lf in enumerate(obj.leaves)], axis=-1)  # [R, L]
-        bits = bits0[:, None, :] ^ parity                  # [R, NC, L]
 
-        val = self._tree_eval(obj.tree, bits)              # [R, NC]
-        val0 = self._tree_eval(obj.tree, bits0)            # [R]
-        prev = jnp.concatenate([val0[:, None], val[:, :-1]], axis=1)
-        flip = (val != prev) & valid
-        has = jnp.any(flip, axis=1)
-        first = jnp.argmax(flip, axis=1)
-        hit_t = jnp.where(
-            has, jnp.take_along_axis(t_sorted, first[:, None], 1)[:, 0], INF)
-        hit_leaf = jnp.where(
-            has, jnp.take_along_axis(leaf_sorted, first[:, None], 1)[:, 0],
-            -1)
+        val_after = self._tree_eval(obj.tree, bits0[:, None, :] ^ par_after)
+        val_before = self._tree_eval(obj.tree,
+                                     bits0[:, None, :] ^ par_before)
+        flip = (val_after != val_before) & valid             # [R, NC]
+
+        tcand = jnp.where(flip, crossings, INF)
+        j = jnp.argmin(tcand, axis=1)
+        hit_t = jnp.min(tcand, axis=1)
+        has = jnp.isfinite(hit_t)
+        hit_leaf = jnp.where(has, jnp.asarray(leaf_of_col)[j], -1)
 
         # envelope culling (object-level)
         if obj.env_c is not None and obj.env_r > 0:
