@@ -192,18 +192,57 @@ class Integrator:
                 out[n] = jnp.asarray(v)
         return out
 
-    def _albedo(self, oid, pos):
+    def _mat_lookup(self, oid_s):
+        """ALL per-object material fields for a lane batch through ONE
+        packed-matrix one-hot contraction [R,O] @ [O,F] — a single MXU op
+        instead of ~18 separate table gathers (TPU gathers: ~4 GB/s)."""
+        dt = self.dtype
+        O = len(self.ir.objects)
+        P = jnp.concatenate([
+            self._mt("m_color"),                       # 0:3
+            self._mt("m_radiance")[:, None],           # 3
+            self._mt("m_rix")[:, None],                # 4
+            self._mt("m_fresnel")[:, None],            # 5
+            self._mt("m_chromatic")[:, None],          # 6
+            self._mt("m_diffuse")[:, None],            # 7
+            self._mt("m_sigma")[:, None],              # 8
+            self._mt("m_transp"),                      # 9:12
+            self._mt("m_pos"),                         # 12:15
+            self._mt("m_tex1"),                        # 15:18
+            self._mt("m_tex2"),                        # 18:21
+            jnp.asarray(self.m_texs)[:, None],         # 21
+            jnp.asarray(self.m_texk, dt)[:, None],     # 22
+            jnp.asarray(self.m_projk, dt)[:, None],    # 23
+            jnp.asarray(self.m_projp),                 # 24:27
+            jnp.asarray(self.m_projr).reshape(O, 9),   # 27:36
+        ], axis=1).astype(dt)
+        oh = (oid_s[:, None]
+              == jnp.arange(O, dtype=jnp.int32)).astype(dt)
+        Pw = jnp.einsum("ro,of->rf", oh, P,
+                        precision=jax.lax.Precision.HIGHEST)
+        return dict(
+            color=Pw[:, 0:3], radiance=Pw[:, 3], rix=Pw[:, 4],
+            fresnel=Pw[:, 5], chromatic=Pw[:, 6], diffuse=Pw[:, 7],
+            sigma=Pw[:, 8], transp=Pw[:, 9:12], pos=Pw[:, 12:15],
+            tex1=Pw[:, 15:18], tex2=Pw[:, 18:21], texs=Pw[:, 21],
+            texk=jnp.round(Pw[:, 22]).astype(jnp.int32),
+            projk=jnp.round(Pw[:, 23]).astype(jnp.int32),
+            projp=Pw[:, 24:27],
+            projr=Pw[:, 27:36].reshape(-1, 3, 3))
+
+    def _albedo(self, oid, pos, mat=None):
         """obj_color with texture dispatch (reference src/objects.c:411-422,
         src/textures.c)."""
-        oid_s = jnp.maximum(oid, 0)
-        base = self._mt("m_color")[oid_s]
-        texk = jnp.asarray(self.m_texk)[oid_s]
-        tex1 = self._mt("m_tex1")[oid_s]
-        tex2 = self._mt("m_tex2")[oid_s]
-        texs = jnp.asarray(self.m_texs)[oid_s]
-        projk = jnp.asarray(self.m_projk)[oid_s]
-        projp = jnp.asarray(self.m_projp)[oid_s]
-        projr = jnp.asarray(self.m_projr)[oid_s]
+        if mat is None:
+            mat = self._mat_lookup(jnp.maximum(oid, 0))
+        base = mat["color"]
+        texk = mat["texk"]
+        tex1 = mat["tex1"]
+        tex2 = mat["tex2"]
+        texs = mat["texs"]
+        projk = mat["projk"]
+        projp = mat["projp"]
+        projr = mat["projr"]
 
         # plane projection (reference src/objects.c:514-518)
         rel = pos - projp
@@ -297,15 +336,18 @@ class Integrator:
         has_enter = enter >= 0
         has_exit = exit_ >= 0
 
+        mat_in = self._mat_lookup(enter_s)
+        mat_out = self._mat_lookup(exit_s)
+
         # emitter hit (reference src/scene.c:432-437)
-        e_rad = self._mt("m_radiance")[enter_s] * has_enter
+        e_rad = mat_in["radiance"] * has_enter
         is_emit = shade & (e_rad > 0)
-        e_pos = self._mt("m_pos")[enter_s]
+        e_pos = mat_in["pos"]
         diff_sqr = _dot(pos - e_pos, pos - e_pos)
         e_int = jnp.where(diff_sqr > 0, e_rad / jnp.where(diff_sqr > 0,
                                                           diff_sqr, 1.0),
                           F3_MAG)
-        e_col = self._albedo(enter_s, pos)
+        e_col = self._albedo(enter_s, pos, mat=mat_in)
         contrib += jnp.where(is_emit[:, None],
                              e_col * (e_int * intensity)[:, None] * tint, 0.0)
 
@@ -313,28 +355,24 @@ class Integrator:
 
         # surface parameters with exit-transition override
         # (reference src/scene.c:441-470)
-        trix = jnp.where(has_enter, self._mt("m_rix")[enter_s], 1.0)
+        trix = jnp.where(has_enter, mat_in["rix"], 1.0)
         # C && semantics: fresnel collapses to 0/1
         # (reference src/scene.c:459)
         fresnel = jnp.where(has_enter,
-                            ((self._mt("m_fresnel")[enter_s] != 0)
-                             & (self._mt("m_rix")[enter_s] != 1.0)
-                             ).astype(dt),
+                            ((mat_in["fresnel"] != 0)
+                             & (mat_in["rix"] != 1.0)).astype(dt),
                             0.0)
-        chromatic = jnp.where(has_enter,
-                              self._mt("m_chromatic")[enter_s], 0.0)
-        diffuse = jnp.where(has_enter,
-                            self._mt("m_diffuse")[enter_s], 0.0)
+        chromatic = jnp.where(has_enter, mat_in["chromatic"], 0.0)
+        diffuse = jnp.where(has_enter, mat_in["diffuse"], 0.0)
         transparent = jnp.where(
             has_enter,
-            _dot(self._mt("m_transp")[enter_s],
-                 self._mt("m_transp")[enter_s]) > 0, False)
-        sigma = jnp.where(has_enter, self._mt("m_sigma")[enter_s], 0.0)
+            _dot(mat_in["transp"], mat_in["transp"]) > 0, False)
+        sigma = jnp.where(has_enter, mat_in["sigma"], 0.0)
         sig2 = sigma * sigma
         on_a = jnp.where(sigma > 0, 1.0 - 0.5 * sig2 / (sig2 + 0.33), 1.0)
         on_b = jnp.where(sigma > 0, 0.45 * sig2 / (sig2 + 0.09), 0.0)
 
-        exit_rix = self._mt("m_rix")[exit_s]
+        exit_rix = mat_out["rix"]
         trix = jnp.where(has_exit,
                          trix / jnp.where(exit_rix != 0, exit_rix, 1.0),
                          trix)
@@ -345,7 +383,7 @@ class Integrator:
 
         # Beer-Lambert absorption of this segment
         # (reference src/scene.c:656-664)
-        transp = self._mt("m_transp")[exit_s]
+        transp = mat_out["transp"]
         # pow(0, t) has an infinite base-derivative: mask the base so the
         # opaque (transp=0) lanes keep a clean zero gradient
         tpos = transp > 0
@@ -355,7 +393,7 @@ class Integrator:
         absorb = jnp.where((has_exit & (t_safe > 0))[:, None], powed, 1.0)
         tint_l = tint * absorb
 
-        albedo = self._albedo(enter_s, pos)
+        albedo = e_col
 
         children = {}
 
@@ -394,8 +432,14 @@ class Integrator:
 
         lum_nee = jnp.zeros((B, 3), dt)
         if self.n_lights:
-            lum_nee = self._nee(pos, surf_d, di, di_gate, theta_i, on_a,
-                                on_b, ray_prj, rv)
+            # skip the whole NEE block at runtime when no lane in the
+            # batch shades diffusely (pure-specular wavefront generations
+            # — most of a glass scene's deep trips)
+            lum_nee = jax.lax.cond(
+                jnp.any(di_gate),
+                lambda: self._nee(pos, surf_d, di, di_gate, theta_i, on_a,
+                                  on_b, ray_prj, rv),
+                lambda: jnp.zeros((B, 3), dt))
         path_parent = None
         if self.path_cap > 0:
             # spawn descriptors; expansion happens in _spawn_paths
@@ -485,12 +529,15 @@ class Integrator:
                               self._oren_nayar_b(w, theta_i, on_a, on_b,
                                                  out_d, surf_d, ray_prj), w)
 
-                # shadow: nearest matter hit must be farther than the light
+                # shadow: no matter hit at or before the light (any-hit
+                # query — cheaper than a nearest trace, reference
+                # src/scene.c:571 `compound_s_ray_hit(matter) > a`)
                 flat_p = jnp.broadcast_to(pos[:, None, :],
                                           (B, S, 3)).reshape(B * S, 3)
-                sh = self.tr.shadow_nearest_t(
-                    flat_p, out_d.reshape(B * S, 3)).reshape(B, S)
-                ok = ok & (sh > a)
+                a_lim = jnp.where(jnp.isfinite(a), a, 0.0).reshape(B * S)
+                blocked = self.tr.shadow_blocked(
+                    flat_p, out_d.reshape(B * S, 3), a_lim).reshape(B, S)
+                ok = ok & ~blocked
 
                 a_safe = jnp.where(jnp.isfinite(a), a, 0.0)
                 hit_pos = pos[:, None, :] + out_d * a_safe[..., None]
@@ -624,10 +671,11 @@ class Integrator:
         if key not in self._drain_jit:
             self._drain_jit[key] = jax.jit(
                 lambda q, count: self._drain(q, count, n_samples, C))
-        acc, dropped, queries = jax.device_get(
+        acc, dropped, queries, trips = jax.device_get(
             self._drain_jit[key](init, jnp.int32(N)))
         per_ray = 2 + self.n_lights * self.direct_cap
         self.rays_traced += int(queries) * per_ray
+        self.last_trips = int(trips)
         if int(dropped):
             print(f"warning: ray queue overflow, {int(dropped)} rays "
                   f"dropped", flush=True)
@@ -681,7 +729,7 @@ class Integrator:
         q, count, acc, it, dropped, queries = jax.lax.while_loop(
             cond, body, (q0, count0, acc0, jnp.int32(0), jnp.int32(0),
                          jnp.int32(0)))
-        return acc, dropped, queries
+        return acc, dropped, queries, it
 
     def run(self, primary: RayQueue, n_samples: int,
             progress=None) -> np.ndarray:

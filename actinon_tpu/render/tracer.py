@@ -2,43 +2,55 @@
 
 TPU-native replacement for the reference hit stack
 (compound_s_ray_hit / compound_s_ray_trans_hit -> obj_ray_hit -> per-type
-vtable hits, reference src/compound.c:215-299, src/objects.c:245-310):
+vtable hits, reference src/compound.c:215-299, src/objects.c:245-310).
 
-  * All single-leaf objects of one analytic family are intersected with one
-    vectorized expression over struct-of-arrays tables ([R,S] etc.); the
-    sphere table is processed in chunks with a running top-2 so scenes like
-    many_spheres.acn (32k spheres) never materialize [R,S].
-  * Composite (CSG) objects run a *sorted crossing walk*: all leaf-surface
-    crossings along the ray are enumerated analytically, sorted by t, and
-    the composite's inside/outside predicate is evaluated after every
-    crossing in one fully vectorized pass (crossing parity per leaf, XOR
-    with the origin-side bits, static unroll of the tree program).  The
-    first predicate flip is the boundary.  This replaces the reference's
-    recursive pair-marching (reference src/objects.c:1052-1094) with
-    straight-line, divergence-free XLA code — no `lax.while_loop`, which
-    also makes the walk reverse-mode differentiable.
-  * Every scene traversal computes the nearest AND second-nearest hit in
-    the same pass (top-2 merge over candidate groups), so the media
-    transition query (coincident-surface resolution, reference
-    src/compound.c:246-299) costs one traversal, not two.
-  * The scene structure is static at trace time, so every per-object loop
-    here unrolls into straight-line XLA; there is no dynamic dispatch.
+Design (round 2): every analytic leaf surface — half-space, sphere,
+quadric — is ONE ROW of a unified *generalized quadric* table
 
-Differentiable path: all geometry tables are read through `self._t(...)`,
+    side(x) = sum_i c2_i y_i^2 + sum_i c1_i y_i + r,   y = M x + m0
+
+(plane: c2=0, c1=n, r=k; sphere: M=I, m0=-c, c2=1, r=-R^2; quadric as
+compiled by the IR).  A scene traversal is then
+
+  * two small matmuls  pl = p @ M^T + m0, dl = d @ M^T  (MXU work),
+  * one fused elementwise block producing both roots of
+    A t^2 + B t + C = 0 for ALL leaves at once ([R, L] arrays),
+  * per-family root policies applied as static masks
+    (entry/exit choice for spheres, first-nonnegative for quadrics,
+    forward crossing for planes — reference src/gmath.h:38-97,
+    src/objects.c:791-801),
+  * CSG composites evaluated by a *bit-packed crossing-parity walk*:
+    per-leaf inside-ness parities along the ray are packed into uint32
+    lanes, the composite's tree program is evaluated before/after every
+    crossing, and the first flip is the boundary (replaces the
+    reference's recursive pair-marching, src/objects.c:1052-1094, with
+    straight-line, divergence-free XLA),
+  * ONE global top-2 merge over candidate columns, after which normals
+    are reconstructed only for the two winners from the leaf table
+    (grad side = (2 c2 y + c1) M) — no per-group gather chains.
+
+The table is processed in chunks with a running top-2 so scenes like
+many_spheres.acn (~1.4k leaves) never materialize [R, L] for huge L.
+
+Every scene traversal computes the nearest AND second-nearest hit in the
+same pass, so the media-transition query (coincident-surface resolution,
+reference src/compound.c:246-299) costs one traversal.  Shadow queries
+use a cheap any-hit reduction (no top-2, no normals).
+
+Differentiable path: geometry tables are read through `self._t(...)`,
 which substitutes traced arrays from `self.ovr` when present — gradients
-w.r.t. sphere centers/radii, plane/quadric parameters then flow through
-the analytic hit formulas (implicit-function differentiation is free
-because the hit distance is in closed form).  `self.diff = True` switches
-the SDF march to a fixed-trip scan.
+w.r.t. sphere centers/radii, plane/quadric parameters flow through the
+closed-form hit math.  `self.diff = True` switches the SDF march to a
+fixed-trip scan.
 
-All functions take/return jnp arrays shaped [R] / [R,3] and are meant to be
-called inside a jitted integrator.
+All functions take/return jnp arrays shaped [R] / [R,3] and are meant to
+be called inside a jitted integrator.
 """
 
 from __future__ import annotations
 
 import math
-from typing import List, Optional
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 import jax
@@ -47,7 +59,8 @@ import jax.numpy as jnp
 from actinon_tpu.scene import ir as sir
 
 INF = jnp.inf
-SPHERE_CHUNK = 2048
+CHUNK = 1024           # single-leaf candidate chunk (running top-2)
+SDF_CROSSINGS = 4      # bounded crossing count for SDF leaves inside CSG
 
 
 def _norm3(v):
@@ -88,86 +101,10 @@ def safe_asin(x):
                      jnp.where(x >= 1.0, np.pi / 2, -np.pi / 2))
 
 
-class _Tables:
-    """Per-family SoA tables for single-leaf objects (numpy, cast at use)."""
-
-    def __init__(self, dtype):
-        self.dtype = dtype
-        self.sph = dict(c=[], r=[], oid=[], env_c=[], env_r=[], neg=[])
-        self.pla = dict(n=[], k=[], oid=[], env_c=[], env_r=[], neg=[])
-        self.qua = dict(m=[], m0=[], coef=[], r=[], oid=[], env_c=[],
-                        env_r=[], neg=[])
-        self.sdf = []        # list of (leaf, oid) - static loop
-        self.composites = []  # list of (ObjIR, oid)
-
-    def add(self, obj: sir.ObjIR, oid: int):
-        if obj.single_leaf:
-            lf = obj.leaves[0]
-            env_c = obj.env_c if obj.env_c is not None else np.zeros(3)
-            env_r = obj.env_r if obj.env_c is not None else -1.0
-            if lf.family == sir.SPHERE and not lf.neg:
-                t = self.sph
-                t["c"].append(lf.c); t["r"].append(lf.r); t["oid"].append(oid)
-                t["env_c"].append(env_c); t["env_r"].append(env_r)
-                return
-            if lf.family == sir.PLANE and not lf.neg:
-                t = self.pla
-                t["n"].append(lf.n); t["k"].append(lf.k); t["oid"].append(oid)
-                t["env_c"].append(env_c); t["env_r"].append(env_r)
-                return
-            if lf.family == sir.QUADRIC and not lf.neg:
-                t = self.qua
-                t["m"].append(lf.m); t["m0"].append(lf.m0)
-                t["coef"].append(lf.coef); t["r"].append(lf.r)
-                t["oid"].append(oid)
-                t["env_c"].append(env_c); t["env_r"].append(env_r)
-                return
-            if lf.family == sir.SDF:
-                self.sdf.append((lf, oid, env_c, env_r))
-                return
-        self.composites.append((obj, oid))
-
-    def finalize(self):
-        dt = self.dtype
-        for t in (self.sph, self.pla, self.qua):
-            for k in list(t):
-                if k == "oid":
-                    t[k] = np.asarray(t[k], np.int32)
-                elif k == "neg":
-                    continue
-                else:
-                    t[k] = np.asarray(t[k], dt) if len(t[k]) else \
-                        np.zeros((0,) + np.shape(t[k])[1:], dt)
-
-
-# ---------------------------------------------------------------------------
-# leaf math (reference src/gmath.h analytic hits, stable quadratic forms)
-
-
-def _sphere_roots(c, r, p, d):
-    """Both crossings of |x-c|=r along p+td; [..] broadcast.  Returns
-    (t0, t1) with NaN->inf where no intersection."""
-    pp = p - c
-    s = _dot(pp, d)
-    q = _dot(pp, pp) - r * r
-    disc = s * s - q
-    ok = disc >= 0
-    root = safe_sqrt(jnp.where(ok, disc, 0.0))
-    # stable: t0 = -s - root, t1 = -s + root, computed cancellation-free
-    ta = -s - root
-    tb = -s + root
-    tb_nz = jnp.abs(tb) > 0
-    ta_nz = jnp.abs(ta) > 0
-    t0 = jnp.where(s < 0, jnp.where(tb_nz, q / jnp.where(tb_nz, tb, 1.0),
-                                    ta), ta)
-    t1 = jnp.where(s > 0, jnp.where(ta_nz, q / jnp.where(ta_nz, ta, 1.0),
-                                    tb), tb)
-    return (jnp.where(ok, t0, INF), jnp.where(ok, t1, INF))
-
-
 def _sphere_first_hit(c, r, p, d, eps):
     """Reference sphere_ray_hit semantics (src/gmath.h:64-85): entry root
-    when outside+approaching, exit root when inside or behind-center."""
+    when outside+approaching, exit root when inside or behind-center.
+    Used by the integrator's NEE light intersection."""
     pp = p - c
     s = _dot(pp, d)
     q = _dot(pp, pp) - r * r
@@ -178,57 +115,6 @@ def _sphere_first_hit(c, r, p, d, eps):
     exiting = (s < 0) | (q < 0)
     a = jnp.where(entering, -s - root, jnp.where(exiting, -s + root, INF))
     return jnp.where(ok, a - eps, INF)
-
-
-def _env_gate(env_c, env_r, p, d):
-    """Envelope culling mask (envelope_s_ray_hits, reference
-    src/objects.c:90-96): True = keep."""
-    t0 = _sphere_first_hit(env_c, env_r, p, d, 0.0)
-    return (env_r <= 0) | jnp.isfinite(t0)
-
-
-def _quadric_setup(m, m0, coef, p, d):
-    """pl/dl + quadratic coefficients; m:[...,3,3], p/d:[...,3]."""
-    pl = jnp.einsum("...ij,...j->...i", m, p) + m0
-    dl = jnp.einsum("...ij,...j->...i", m, d)
-    f = jnp.sum(coef * dl * dl, -1)
-    fs = jnp.sum(coef * dl * pl, -1)
-    fq = jnp.sum(coef * pl * pl, -1)
-    return pl, dl, f, fs, fq
-
-
-def _quadric_roots(f, fs, fq, r):
-    """Both real roots of f t^2 + 2 fs t + (fq + r) = 0, INF where none.
-    Handles the degenerate linear case (f == 0)."""
-    c0 = fq + r
-    safe_f = jnp.where(f != 0, f, 1.0)
-    s = fs / safe_f
-    q = c0 / safe_f
-    disc = s * s - q
-    ok = disc >= 0
-    root = safe_sqrt(jnp.where(ok, disc, 0.0))
-    ta = -s - root
-    tb = -s + root
-    tb_nz = jnp.abs(tb) > 0
-    ta_nz = jnp.abs(ta) > 0
-    t0 = jnp.where(s < 0, jnp.where(tb_nz, q / jnp.where(tb_nz, tb, 1.0),
-                                    ta), ta)
-    t1 = jnp.where(s > 0, jnp.where(ta_nz, q / jnp.where(ta_nz, ta, 1.0),
-                                    tb), tb)
-    t0 = jnp.where(ok, t0, INF)
-    t1 = jnp.where(ok, t1, INF)
-    # linear: t = -c0 / (2 fs)
-    safe_fs = jnp.where(fs != 0, fs, 1.0)
-    tl = jnp.where(fs != 0, -c0 / (2 * safe_fs), INF)
-    quad = f != 0
-    return (jnp.where(quad, t0, tl), jnp.where(quad, t1, INF))
-
-
-def _first_pos(t0, t1, eps):
-    """Reference squaroid root choice (src/objects.c:791-801): smaller
-    non-negative root, eps-backed."""
-    a = jnp.where(t0 >= 0, t0, jnp.where(t1 >= 0, t1, INF))
-    return jnp.where(jnp.isfinite(a), a - eps, INF)
 
 
 def _sdf_eval(kind, param, pos):
@@ -243,6 +129,17 @@ def _sdf_eval(kind, param, pos):
         return jnp.sqrt((xu - x) ** 2 + (yu - y) ** 2 + pos[..., 2] ** 2) \
             - param
     raise ValueError(kind)
+
+
+def _take_cols(a, idx):
+    """a[r, idx[r, k]] for small static K — unrolled compare+select instead
+    of take_along_axis (TPU gathers run at ~4 GB/s; K fused selects at
+    full VPU bandwidth)."""
+    K = a.shape[1]
+    out = jnp.zeros(idx.shape, a.dtype)
+    for k in range(K):
+        out = jnp.where(idx == k, a[:, k:k + 1], out)
+    return out
 
 
 def _top2_cols(a):
@@ -261,11 +158,114 @@ def _top2_cols(a):
 
 
 # ---------------------------------------------------------------------------
+# unified leaf table
+
+
+class _Unified:
+    """SoA table of all analytic leaves (static numpy; traced overrides
+    assembled on demand)."""
+
+    def __init__(self, dtype):
+        self.dtype = dtype
+        self.M = []        # [L,3,3]
+        self.m0 = []       # [L,3]
+        self.c2 = []       # [L,3]
+        self.c1 = []       # [L,3]
+        self.rr = []       # [L]
+        self.kind = []     # [L] sir.PLANE/SPHERE/QUADRIC
+        self.neg = []      # [L] normal flip
+        self.oid = []      # [L] owning object id
+        self.is_light = []
+        self.single = []   # candidate column (owning object single-leaf)
+        self.env_c = []    # [L,3] owning object envelope (singles only)
+        self.env_r = []    # [L]
+        # override bookkeeping
+        self.sph_rows, self.sph_c, self.sph_r = [], [], []
+        self.pla_rows, self.pla_n, self.pla_k = [], [], []
+        self.qua_rows = []
+        self.qua_m, self.qua_m0, self.qua_coef, self.qua_r = [], [], [], []
+        self.comp_keys = []  # (row, key_prefix, family)
+
+    def add(self, lf: sir.Leaf, oid: int, is_light: bool, single: bool,
+            env_c, env_r, key: Optional[str]) -> int:
+        row = len(self.rr)
+        eye = np.eye(3)
+        if lf.family == sir.PLANE:
+            M, m0 = eye, np.zeros(3)
+            c2, c1, r = np.zeros(3), np.asarray(lf.n, float), float(lf.k)
+            self.pla_rows.append(row)
+            self.pla_n.append(np.asarray(lf.n, float))
+            self.pla_k.append(float(lf.k))
+        elif lf.family == sir.SPHERE:
+            M, m0 = eye, -np.asarray(lf.c, float)
+            c2, c1, r = np.ones(3), np.zeros(3), -float(lf.r) ** 2
+            self.sph_rows.append(row)
+            self.sph_c.append(np.asarray(lf.c, float))
+            self.sph_r.append(float(lf.r))
+        elif lf.family == sir.QUADRIC:
+            M, m0 = np.asarray(lf.m, float), np.asarray(lf.m0, float)
+            c2, c1, r = np.asarray(lf.coef, float), np.zeros(3), float(lf.r)
+            self.qua_rows.append(row)
+            self.qua_m.append(M); self.qua_m0.append(m0)
+            self.qua_coef.append(c2); self.qua_r.append(r)
+        else:
+            raise ValueError(lf.family)
+        self.M.append(M); self.m0.append(m0)
+        self.c2.append(c2); self.c1.append(c1); self.rr.append(r)
+        self.kind.append(lf.family); self.neg.append(lf.neg)
+        self.oid.append(oid); self.is_light.append(is_light)
+        self.single.append(single)
+        self.env_c.append(env_c if env_c is not None else np.zeros(3))
+        self.env_r.append(env_r if env_c is not None else -1.0)
+        if key is not None:
+            self.comp_keys.append((row, key, lf.family))
+        return row
+
+    def finalize(self):
+        dt = self.dtype
+        z = lambda a, shp: (np.asarray(a, dt) if len(a)
+                            else np.zeros(shp, dt))
+        self.M = z(self.M, (0, 3, 3)); self.m0 = z(self.m0, (0, 3))
+        self.c2 = z(self.c2, (0, 3)); self.c1 = z(self.c1, (0, 3))
+        self.rr = z(self.rr, (0,))
+        self.kind = np.asarray(self.kind, np.int32)
+        self.neg = np.asarray(self.neg, bool)
+        self.oid = np.asarray(self.oid, np.int32)
+        self.is_light = np.asarray(self.is_light, bool)
+        self.single = np.asarray(self.single, bool)
+        self.env_c = z(self.env_c, (0, 3)); self.env_r = z(self.env_r, (0,))
+        self.sph_c = z(self.sph_c, (0, 3)); self.sph_r = z(self.sph_r, (0,))
+        self.pla_n = z(self.pla_n, (0, 3)); self.pla_k = z(self.pla_k, (0,))
+        self.qua_m = z(self.qua_m, (0, 3, 3))
+        self.qua_m0 = z(self.qua_m0, (0, 3))
+        self.qua_coef = z(self.qua_coef, (0, 3))
+        self.qua_r = z(self.qua_r, (0,))
+        for n in ("sph_rows", "pla_rows", "qua_rows"):
+            setattr(self, n, np.asarray(getattr(self, n), np.int32))
+
+    def __len__(self):
+        return len(self.rr)
+
+
+class _Composite:
+    """One CSG object: tree program over unified rows + SDF leaves."""
+
+    def __init__(self, oid, tree, rows, sdf_leaves, env_c, env_r, is_light):
+        self.oid = oid
+        self.tree = tree          # local leaf indices
+        self.rows = rows          # local analytic leaf -> global row (or -1)
+        self.sdf_leaves = sdf_leaves  # local leaf -> sir.Leaf (or None)
+        self.env_c = env_c
+        self.env_r = env_r
+        self.is_light = is_light
+
+
+# ---------------------------------------------------------------------------
 
 
 class Tracer:
-    """Per-scene tracer: builds the SoA tables once, exposes vectorized
-    nearest / transition / shadow queries."""
+    """Per-scene tracer over the unified leaf table: vectorized nearest /
+    transition / shadow queries."""
 
     def __init__(self, ir: sir.SceneIR, dtype=jnp.float32, eps=None):
         self.ir = ir
@@ -273,10 +273,9 @@ class Tracer:
         self.eps = eps if eps is not None else \
             (1e-6 if self.dtype == np.float64 else 1e-4)
         # differentiable-path hooks: `ovr` maps table names to traced
-        # arrays replacing the baked constants (geometry gradients then
-        # flow through the analytic hit formulas); `diff` switches the
-        # data-dependent SDF `lax.while_loop` to a fixed-trip scan, which
-        # is reverse-mode differentiable (while_loop is not).
+        # arrays replacing the baked constants; `diff` switches the SDF
+        # `lax.while_loop` march to a fixed-trip scan (reverse-mode
+        # differentiable).
         self.ovr = {}
         self.diff = False
 
@@ -285,11 +284,45 @@ class Tracer:
         self.roughness = np.array([o.roughness for o in ir.objects],
                                   self.dtype)
 
-        tb = _Tables(self.dtype)
+        tab = _Unified(self.dtype)
+        composites: List[_Composite] = []
+        sdf_singles = []   # (leaf, oid, env_c, env_r, is_light)
         for oid, obj in enumerate(ir.objects):
-            tb.add(obj, oid)
-        tb.finalize()
-        self.tb = tb
+            env_c = obj.env_c if obj.env_c is not None else None
+            env_r = obj.env_r
+            if obj.single_leaf:
+                lf = obj.leaves[0]
+                if lf.family == sir.SDF:
+                    sdf_singles.append((lf, oid, lf.env_c if lf.env_c
+                                        is not None else env_c,
+                                        lf.env_r if lf.env_c is not None
+                                        else (env_r if env_c is not None
+                                              else -1.0), obj.is_light))
+                else:
+                    tab.add(lf, oid, obj.is_light, True, env_c,
+                            env_r if env_c is not None else -1.0, None)
+            else:
+                ci = len(composites)
+                rows, sdfs = [], []
+                for li, lf in enumerate(obj.leaves):
+                    if lf.family == sir.SDF:
+                        rows.append(-1)
+                        sdfs.append(lf)
+                    else:
+                        rows.append(tab.add(lf, oid, obj.is_light, False,
+                                            None, -1.0, f"c{ci}_l{li}_"))
+                        sdfs.append(None)
+                composites.append(_Composite(
+                    oid, obj.tree, rows, sdfs, env_c,
+                    env_r if env_c is not None else -1.0, obj.is_light))
+        tab.finalize()
+        self.tab = tab
+        self.composites = composites
+        self.sdf_singles = sdf_singles
+        self.n_sdf = len(sdf_singles)
+
+        # static chunk partition of the single-leaf candidate rows
+        self.single_rows = np.flatnonzero(tab.single).astype(np.int32)
 
         # jitted entry points for direct (non-integrator) use; the
         # integrator calls the raw methods inside its own jit instead
@@ -300,7 +333,7 @@ class Tracer:
         self.trans_hit_jit = jax.jit(self.trans_hit)
         self.shadow_t_jit = jax.jit(self.shadow_t)
 
-    # -- differentiable table access ----------------------------------------
+    # -- differentiable table access -----------------------------------------
 
     def _t(self, name, value):
         """Table read with optional traced override."""
@@ -309,199 +342,191 @@ class Tracer:
 
     def geom_params(self):
         """Export the differentiable geometry tables as a dict pytree whose
-        keys match the `ovr` names.  SDF leaves are excluded (their march
-        is not differentiated; see _hit_sdf_leaf)."""
+        keys match the `ovr` names (family arrays for single leaves,
+        per-leaf keys for CSG composite leaves).  SDF leaves are excluded
+        (their march is an iterative root-finder; see _hit_sdf_leaf)."""
+        t = self.tab
         p = {}
-        if len(self.tb.sph["oid"]):
-            p["sph_c"] = self.tb.sph["c"]
-            p["sph_r"] = self.tb.sph["r"]
-        if len(self.tb.pla["oid"]):
-            p["pla_n"] = self.tb.pla["n"]
-            p["pla_k"] = self.tb.pla["k"]
-        if len(self.tb.qua["oid"]):
-            p["qua_m"] = self.tb.qua["m"]
-            p["qua_m0"] = self.tb.qua["m0"]
-            p["qua_coef"] = self.tb.qua["coef"]
-            p["qua_r"] = self.tb.qua["r"]
-        for ci, (obj, oid) in enumerate(self.tb.composites):
-            for li, lf in enumerate(obj.leaves):
-                pre = f"c{ci}_l{li}_"
-                if lf.family == sir.PLANE:
-                    p[pre + "n"] = lf.n.astype(self.dtype)
-                    p[pre + "k"] = np.asarray(lf.k, self.dtype)
-                elif lf.family == sir.SPHERE:
-                    p[pre + "c"] = lf.c.astype(self.dtype)
-                    p[pre + "r"] = np.asarray(lf.r, self.dtype)
-                elif lf.family == sir.QUADRIC:
-                    p[pre + "m"] = lf.m.astype(self.dtype)
-                    p[pre + "m0"] = lf.m0.astype(self.dtype)
-                    p[pre + "coef"] = lf.coef.astype(self.dtype)
-                    p[pre + "r"] = np.asarray(lf.r, self.dtype)
-        return {k: jnp.asarray(np.asarray(v, self.dtype)) for k, v in
-                p.items()}
+        if len(t.sph_rows):
+            p["sph_c"] = t.sph_c
+            p["sph_r"] = t.sph_r
+        if len(t.pla_rows):
+            p["pla_n"] = t.pla_n
+            p["pla_k"] = t.pla_k
+        if len(t.qua_rows):
+            p["qua_m"] = t.qua_m
+            p["qua_m0"] = t.qua_m0
+            p["qua_coef"] = t.qua_coef
+            p["qua_r"] = t.qua_r
+        for row, key, fam in t.comp_keys:
+            if fam == sir.PLANE:
+                p[key + "n"] = t.c1[row]
+                p[key + "k"] = t.rr[row]
+            elif fam == sir.SPHERE:
+                p[key + "c"] = -t.m0[row]
+                p[key + "r"] = np.sqrt(-t.rr[row])
+            elif fam == sir.QUADRIC:
+                p[key + "m"] = t.M[row]
+                p[key + "m0"] = t.m0[row]
+                p[key + "coef"] = t.c2[row]
+                p[key + "r"] = t.rr[row]
+        return {k: jnp.asarray(np.asarray(v, self.dtype))
+                for k, v in p.items()}
 
-    # -- candidate groups ----------------------------------------------------
-    # Each group yields (t [R,k], nor [R,k,3], oid [R,k], sign [R,k]) with
-    # k in {1, 2}; the final merge takes the global top-2 over all groups.
+    def _assemble(self):
+        """The traced (M, m0, c2, c1, rr) tables: static constants on the
+        fast path; rebuilt from `ovr` reads in diff mode so geometry
+        gradients flow into the unified rows."""
+        t = self.tab
+        if not self.ovr:
+            return (jnp.asarray(t.M), jnp.asarray(t.m0), jnp.asarray(t.c2),
+                    jnp.asarray(t.c1), jnp.asarray(t.rr))
+        M = jnp.asarray(t.M); m0 = jnp.asarray(t.m0)
+        c2 = jnp.asarray(t.c2); c1 = jnp.asarray(t.c1)
+        rr = jnp.asarray(t.rr)
+        if len(t.sph_rows):
+            sc = self._t("sph_c", t.sph_c)
+            sr = self._t("sph_r", t.sph_r)
+            m0 = m0.at[t.sph_rows].set(-sc)
+            rr = rr.at[t.sph_rows].set(-sr * sr)
+        if len(t.pla_rows):
+            pn = self._t("pla_n", t.pla_n)
+            pk = self._t("pla_k", t.pla_k)
+            c1 = c1.at[t.pla_rows].set(pn)
+            rr = rr.at[t.pla_rows].set(pk)
+        if len(t.qua_rows):
+            qm = self._t("qua_m", t.qua_m)
+            qm0 = self._t("qua_m0", t.qua_m0)
+            qc = self._t("qua_coef", t.qua_coef)
+            qr = self._t("qua_r", t.qua_r)
+            M = M.at[t.qua_rows].set(qm)
+            m0 = m0.at[t.qua_rows].set(qm0)
+            c2 = c2.at[t.qua_rows].set(qc)
+            rr = rr.at[t.qua_rows].set(qr)
+        for row, key, fam in t.comp_keys:
+            if fam == sir.PLANE:
+                c1 = c1.at[row].set(self._t(key + "n", t.c1[row]))
+                rr = rr.at[row].set(self._t(key + "k", t.rr[row]))
+            elif fam == sir.SPHERE:
+                c = self._t(key + "c", -t.m0[row])
+                r = self._t(key + "r", np.sqrt(-t.rr[row]))
+                m0 = m0.at[row].set(-c)
+                rr = rr.at[row].set(-r * r)
+            elif fam == sir.QUADRIC:
+                M = M.at[row].set(self._t(key + "m", t.M[row]))
+                m0 = m0.at[row].set(self._t(key + "m0", t.m0[row]))
+                c2 = c2.at[row].set(self._t(key + "coef", t.c2[row]))
+                rr = rr.at[row].set(self._t(key + "r", t.rr[row]))
+        return M, m0, c2, c1, rr
 
-    def _sphere_group(self, p, d, matter_only):
-        """Top-2 hits over the sphere table, chunked running merge."""
-        t = self.tb.sph
-        S = len(t["oid"])
-        if S == 0:
-            return None
+    # -- unified root math ---------------------------------------------------
+
+    def _quads(self, tabs, rows, p, d):
+        """A t^2 + B t + C coefficients of all `rows` leaves along p+td.
+        Returns (A, B, C, pl, dl) with pl/dl [R, c, 3]; the C coefficient
+        equals side(p), giving origin inside-ness for free.
+
+        precision=HIGHEST: TPU einsum otherwise drops to bf16 inputs,
+        which corrupts the eps-shell root math (rays re-hit the surface
+        they just left and the wavefront explodes with bogus children)."""
+        M, m0, c2, c1, rr = tabs
+        hi = jax.lax.Precision.HIGHEST
+        Mr = M[rows]                                # [c,3,3]
+        pl = jnp.einsum("rj,lij->rli", p, Mr, precision=hi) + m0[rows][None]
+        dl = jnp.einsum("rj,lij->rli", d, Mr, precision=hi)
+        c2r = c2[rows][None]; c1r = c1[rows][None]
+        A = jnp.sum(c2r * dl * dl, -1)
+        Bq = 2.0 * jnp.sum(c2r * dl * pl, -1) + jnp.sum(c1r * dl, -1)
+        Cq = jnp.sum(c2r * pl * pl, -1) + jnp.sum(c1r * pl, -1) + rr[rows][None]
+        return A, Bq, Cq, pl, dl
+
+    @staticmethod
+    def _roots(A, Bq, Cq):
+        """Both real roots (t0 <= t1, INF where none) of A t^2+B t+C=0 in a
+        cancellation-stable form, plus the normalized (s, q) used by the
+        sphere entry/exit policy and the linear root for A == 0."""
+        is_quad = A != 0
+        safe_A = jnp.where(is_quad, A, 1.0)
+        s = (Bq * 0.5) / safe_A
+        q = Cq / safe_A
+        disc = s * s - q
+        ok = is_quad & (disc >= 0)
+        root = safe_sqrt(jnp.where(ok, disc, 0.0))
+        ta = -s - root
+        tb = -s + root
+        tb_nz = jnp.abs(tb) > 0
+        ta_nz = jnp.abs(ta) > 0
+        t0 = jnp.where(s < 0, jnp.where(tb_nz, q / jnp.where(tb_nz, tb, 1.0),
+                                        ta), ta)
+        t1 = jnp.where(s > 0, jnp.where(ta_nz, q / jnp.where(ta_nz, ta, 1.0),
+                                        tb), tb)
+        lin_nz = Bq != 0
+        t_lin = jnp.where(lin_nz, -Cq / jnp.where(lin_nz, Bq, 1.0), INF)
+        t0u = jnp.where(is_quad, jnp.where(ok, t0, INF), t_lin)
+        t1u = jnp.where(is_quad, jnp.where(ok, t1, INF), INF)
+        return t0u, t1u, s, q, ok, is_quad
+
+    def _policy(self, kind_rows, t0u, t1u, s, q, ok):
+        """First-hit offset per leaf column under its family's root policy
+        (eps-backed).  kind_rows is static numpy [c]."""
+        is_pl = (kind_rows == sir.PLANE)[None, :]
+        is_sp = (kind_rows == sir.SPHERE)[None, :]
+        # plane: forward crossing (reference src/gmath.h:38-49)
+        a_pl = jnp.where(t0u > 0, t0u - self.eps, INF)
+        # sphere: entry when outside+approaching, exit when inside
+        # (reference src/gmath.h:64-85)
+        entering = (s < 0) & (q > 0)
+        exiting = (s < 0) | (q < 0)
+        a_sp = jnp.where(entering, t0u, jnp.where(exiting, t1u, INF))
+        a_sp = jnp.where(ok, a_sp - self.eps, INF)
+        # quadric: smaller non-negative root (reference src/objects.c:791-801)
+        a_qu = jnp.where(t0u >= 0, t0u, jnp.where(t1u >= 0, t1u, INF))
+        a_qu = jnp.where(jnp.isfinite(a_qu), a_qu - self.eps, INF)
+        return jnp.where(is_pl, a_pl, jnp.where(is_sp, a_sp, a_qu))
+
+    def _env_gate_rows(self, rows, p, d):
+        """Envelope culling mask per candidate column (envelope_s_ray_hits,
+        reference src/objects.c:90-96): True = keep.  Static numpy env."""
+        t = self.tab
+        ec = jnp.asarray(t.env_c[rows])[None]        # [1,c,3]
+        er = jnp.asarray(t.env_r[rows])[None]        # [1,c]
+        pp = p[:, None, :] - ec
+        s = _dot(pp, d[:, None, :])
+        q = _dot(pp, pp) - er * er
+        disc = s * s - q
+        exists = (disc >= 0) & ((s < 0) | (q < 0))
+        return (er <= 0) | exists
+
+    def _env_gate_one(self, env_c, env_r, p, d):
+        ec = jnp.asarray(np.asarray(env_c, self.dtype))
+        pp = p - ec
+        s = _dot(pp, d)
+        q = _dot(pp, pp) - self.dtype.type(env_r) ** 2
+        disc = s * s - q
+        return (disc >= 0) & ((s < 0) | (q < 0))
+
+    # -- SDF leaves ----------------------------------------------------------
+
+    def _sdf_local(self, lf: sir.Leaf, p, d):
+        """Ray into the SDF leaf's local unit frame; returns (pl, dl_unit,
+        dn) with dn the direction's local norm (offset rescale factor)."""
         dt = self.dtype
-        R = p.shape[0]
-        c = self._t("sph_c", t["c"])
-        r = self._t("sph_r", t["r"])
-        ec = jnp.asarray(t["env_c"]); er = jnp.asarray(t["env_r"])
-        light = jnp.asarray(self.is_light[t["oid"]])
-        tab_oid = jnp.asarray(t["oid"])
-
-        def chunk_hits(c_k, r_k, ec_k, er_k, light_k, alive_k):
-            a = _sphere_first_hit(c_k[None, :, :], r_k[None, :],
-                                  p[:, None, :], d[:, None, :], self.eps)
-            gate = _env_gate(ec_k[None, :, :], er_k[None, :],
-                             p[:, None, :], d[:, None, :])
-            a = jnp.where(gate & alive_k[None, :], a, INF)
-            if matter_only:
-                a = jnp.where(light_k[None, :], INF, a)
-            return a
-
-        if S <= SPHERE_CHUNK:
-            a = chunk_hits(c, r, ec, er, light,
-                           jnp.ones((S,), bool))
-            t2, idx2 = _top2_cols(a)
-        else:
-            pad = (-S) % SPHERE_CHUNK
-            cp = jnp.concatenate([c, jnp.zeros((pad, 3), dt)])
-            rp = jnp.concatenate([r, jnp.full((pad,), 1.0, dt)])
-            ecp = jnp.concatenate([ec, jnp.zeros((pad, 3), dt)])
-            erp = jnp.concatenate([er, jnp.full((pad,), -1.0, dt)])
-            lp = jnp.concatenate([light, jnp.ones((pad,), bool)])
-            ap = jnp.concatenate([jnp.ones((S,), bool),
-                                  jnp.zeros((pad,), bool)])
-            nch = (S + pad) // SPHERE_CHUNK
-            xs = (cp.reshape(nch, SPHERE_CHUNK, 3),
-                  rp.reshape(nch, SPHERE_CHUNK),
-                  ecp.reshape(nch, SPHERE_CHUNK, 3),
-                  erp.reshape(nch, SPHERE_CHUNK),
-                  lp.reshape(nch, SPHERE_CHUNK),
-                  ap.reshape(nch, SPHERE_CHUNK))
-
-            def body(carry, x):
-                best_t, best_i, base = carry
-                ck, rk, eck, erk, lk, ak = x
-                a = chunk_hits(ck, rk, eck, erk, lk, ak)
-                tk, ik = _top2_cols(a)
-                ik = ik.astype(jnp.int32) + base
-                cand_t = jnp.concatenate([best_t, tk], axis=1)
-                cand_i = jnp.concatenate([best_i, ik], axis=1)
-                merged_t, sel = _top2_cols(cand_t)
-                return (merged_t,
-                        jnp.take_along_axis(cand_i, sel, axis=1),
-                        base + SPHERE_CHUNK), None
-
-            init = (jnp.full((R, 2), INF, dt),
-                    jnp.zeros((R, 2), jnp.int32), jnp.int32(0))
-            (t2, idx2, _), _ = jax.lax.scan(body, init, xs)
-
-        idx2 = idx2.astype(jnp.int32)
-        cg = c[idx2]                                   # [R,2,3]
-        s = _dot(p[:, None, :] - cg, d[:, None, :])
-        sign = jnp.where(s + t2 > 0, 1.0, -1.0).astype(dt)
-        t_safe = jnp.where(jnp.isfinite(t2), t2, 0.0)
-        nor = _norm3(p[:, None, :] + d[:, None, :] * t_safe[..., None] - cg)
-        return t2, nor, tab_oid[idx2], sign
-
-    def _plane_group(self, p, d, matter_only):
-        t = self.tb.pla
-        P = len(t["oid"])
-        if P == 0:
-            return None
-        dt = self.dtype
-        n = self._t("pla_n", t["n"])
-        k = self._t("pla_k", t["k"])
-        div = jnp.einsum("rj,pj->rp", d, n)
-        num = -(jnp.einsum("rj,pj->rp", p, n) + k[None, :])
-        offs = num / jnp.where(div != 0, div, 1.0)
-        a = jnp.where((div != 0) & (offs > 0), offs - self.eps, INF)
-        gate = _env_gate(jnp.asarray(t["env_c"])[None, :, :],
-                         jnp.asarray(t["env_r"])[None, :],
-                         p[:, None, :], d[:, None, :])
-        a = jnp.where(gate, a, INF)
-        if matter_only:
-            light = jnp.asarray(self.is_light[t["oid"]])
-            a = jnp.where(light[None, :], INF, a)
-        t2, idx2 = _top2_cols(a)
-        sign_all = jnp.where(div > 0, 1.0, -1.0).astype(dt)
-        sign = jnp.take_along_axis(sign_all, idx2, axis=1)
-        nor = n[idx2]
-        oid = jnp.asarray(t["oid"])[idx2]
-        return t2, nor, oid, sign
-
-    def _quadric_group(self, p, d, matter_only):
-        t = self.tb.qua
-        Q = len(t["oid"])
-        if Q == 0:
-            return None
-        dt = self.dtype
-        m = self._t("qua_m", t["m"])
-        m0 = self._t("qua_m0", t["m0"])
-        coef = self._t("qua_coef", t["coef"])
-        r = self._t("qua_r", t["r"])
-        pl, dl, f, fs, fq = _quadric_setup(
-            m[None], m0[None], coef[None], p[:, None, :], d[:, None, :])
-        t0, t1 = _quadric_roots(f, fs, fq, r[None, :])
-        a = _first_pos(t0, t1, self.eps)
-        gate = _env_gate(jnp.asarray(t["env_c"])[None, :, :],
-                         jnp.asarray(t["env_r"])[None, :],
-                         p[:, None, :], d[:, None, :])
-        a = jnp.where(gate, a, INF)
-        if matter_only:
-            light = jnp.asarray(self.is_light[t["oid"]])
-            a = jnp.where(light[None, :], INF, a)
-        t2, idx2 = _top2_cols(a)
-        mg = m[idx2]; m0g = m0[idx2]; coefg = coef[idx2]
-        t_safe = jnp.where(jnp.isfinite(t2), t2, 0.0)
-        x = p[:, None, :] + d[:, None, :] * t_safe[..., None]
-        xl = jnp.einsum("rkij,rkj->rki", mg, x) + m0g
-        grad = jnp.einsum("rki,rkij->rkj", coefg * xl, mg)
-        nor = _norm3(grad)
-        sgn = _dot(grad, d[:, None, :])
-        sign = jnp.where(sgn > 0, 1.0, -1.0).astype(dt)
-        oid = jnp.asarray(t["oid"])[idx2]
-        return t2, nor, oid, sign
-
-    def _hit_sdf_leaf(self, lf: sir.Leaf, env_c, env_r, p, d):
-        """Bounded bidirectional sphere march in the leaf's local frame
-        (reference src/objects.c:903-959).  Not differentiated (the march
-        is an iterative root-finder); in diff mode inputs are detached."""
-        dt = self.dtype
-        if self.diff:
-            p = jax.lax.stop_gradient(p)
-            d = jax.lax.stop_gradient(d)
-        R = p.shape[0]
+        hi = jax.lax.Precision.HIGHEST
         m = jnp.asarray(lf.m.astype(dt)); m0 = jnp.asarray(lf.m0.astype(dt))
-        # envelope-clipped entry (world space)
-        if env_r > 0:
-            ec = jnp.asarray(env_c.astype(dt))
-            outside = _dot(p - ec, p - ec) > env_r * env_r
-            t_env = _sphere_first_hit(ec, jnp.asarray(dt.type(env_r)), p, d,
-                                      0.0)
-            dead = outside & ~jnp.isfinite(t_env)
-            offs0 = jnp.where(outside & jnp.isfinite(t_env), t_env, 0.0)
-        else:
-            dead = jnp.zeros((R,), bool)
-            offs0 = jnp.zeros((R,), dt)
-        p0 = p + d * offs0[:, None]
-        pl = jnp.einsum("ij,rj->ri", m, p0) + m0
-        dl0 = jnp.einsum("ij,rj->ri", m, d)
+        pl = jnp.einsum("ij,rj->ri", m, p, precision=hi) + m0
+        dl0 = jnp.einsum("ij,rj->ri", m, d, precision=hi)
         dn = jnp.sqrt(jnp.sum(dl0 * dl0, -1))
         dl = dl0 / jnp.where(dn > 0, dn, 1.0)[:, None]
+        return pl, dl, dn
 
+    def _sdf_march(self, lf: sir.Leaf, pl, dl, offs0, dead):
+        """Bounded bidirectional sphere march from local offset offs0
+        (reference src/objects.c:903-959).  Returns (offs_local, dist)."""
+        dt = self.dtype
         eps = self.eps
-        dist0 = _sdf_eval(lf.sdf_kind, lf.sdf_param, pl)
+        R = pl.shape[0]
+        p0 = pl + dl * offs0[:, None]
+        dist0 = _sdf_eval(lf.sdf_kind, lf.sdf_param, p0)
         forward = dist0 > 0
 
         def body(carry):
@@ -509,7 +534,7 @@ class Tracer:
             step = jnp.where(forward, dist + eps, -(dist - eps))
             offs1 = jnp.where(active, offs1 + step, offs1)
             dnew = _sdf_eval(lf.sdf_kind, lf.sdf_param,
-                             pl + dl * offs1[:, None])
+                             p0 + dl * offs1[:, None])
             dist = jnp.where(active, dnew, dist)
             crossed = jnp.where(forward, (dist < 0) | (dist > 1e30),
                                 (dist > 0) | (dist < -1e30))
@@ -526,227 +551,351 @@ class Tracer:
                 i, _, _, active = carry
                 return (i < lf.cycles) & jnp.any(active)
             _, offs1, dist, _ = jax.lax.while_loop(cond, body, init)
+        return offs0 + offs1, dist
 
-        hit = (~dead) & (jnp.abs(dist) <= eps)
-        q = pl + dl * offs1[:, None]
-        d0 = _sdf_eval(lf.sdf_kind, lf.sdf_param, q)
+    def _sdf_normal(self, lf: sir.Leaf, q_local):
+        """Forward-difference gradient normal in world space (reference
+        src/objects.c:940-952), with the Neg flip baked in."""
+        dt = self.dtype
+        eps = self.eps
+        m = jnp.asarray(lf.m.astype(dt))
+        d0 = _sdf_eval(lf.sdf_kind, lf.sdf_param, q_local)
         ex = jnp.asarray(np.eye(3, dtype=dt))
         grad = jnp.stack([
-            (_sdf_eval(lf.sdf_kind, lf.sdf_param, q + ex[i] * eps) - d0) / eps
-            for i in range(3)], axis=-1)
-        nw = jnp.einsum("ri,ij->rj", grad, m)
-        nor = _norm3(nw)
-        if lf.neg:
-            nor = -nor
-        a = jnp.where(hit, offs0 + offs1 / jnp.where(dn > 0, dn, 1.0)
+            (_sdf_eval(lf.sdf_kind, lf.sdf_param, q_local + ex[i] * eps)
+             - d0) / eps for i in range(3)], axis=-1)
+        nor = _norm3(jnp.einsum("ri,ij->rj", grad, m))
+        return -nor if lf.neg else nor
+
+    def _hit_sdf_leaf(self, lf: sir.Leaf, env_c, env_r, p, d):
+        """First hit of a standalone SDF object: envelope-clipped entry,
+        bounded march, gradient normal.  Not differentiated (iterative
+        root-finder); in diff mode inputs are detached."""
+        dt = self.dtype
+        if self.diff:
+            p = jax.lax.stop_gradient(p)
+            d = jax.lax.stop_gradient(d)
+        R = p.shape[0]
+        if env_c is not None and env_r > 0:
+            ec = jnp.asarray(np.asarray(env_c, dt))
+            outside = _dot(p - ec, p - ec) > env_r * env_r
+            t_env = _sphere_first_hit(ec, jnp.asarray(dt.type(env_r)),
+                                      p, d, 0.0)
+            dead = outside & ~jnp.isfinite(t_env)
+            offs0w = jnp.where(outside & jnp.isfinite(t_env), t_env, 0.0)
+        else:
+            dead = jnp.zeros((R,), bool)
+            offs0w = jnp.zeros((R,), dt)
+        pl, dl, dn = self._sdf_local(lf, p + d * offs0w[:, None], d)
+        offs_l, dist = self._sdf_march(lf, pl, dl, jnp.zeros((R,), dt), dead)
+        hit = (~dead) & (jnp.abs(dist) <= self.eps)
+        q_local = pl + dl * offs_l[:, None]
+        nor = self._sdf_normal(lf, q_local)
+        a = jnp.where(hit, offs0w + offs_l / jnp.where(dn > 0, dn, 1.0)
                       - self.eps, INF)
         return a, nor
 
-    # -- composite objects -------------------------------------------------
+    def _sdf_crossings(self, lf: sir.Leaf, p, d, k: int):
+        """Up to k forward surface crossings of an SDF leaf along p+td
+        (world offsets, INF-padded) — the crossing supply for SDF leaves
+        inside CSG composites (reference pair-marching accepts any child
+        object, src/objects.c:1052-1094).  Each crossing is found by a
+        bounded march; the next march restarts just past the surface
+        shell."""
+        dt = self.dtype
+        if self.diff:
+            p = jax.lax.stop_gradient(p)
+            d = jax.lax.stop_gradient(d)
+        R = p.shape[0]
+        pl, dl, dn = self._sdf_local(lf, p, d)
+        dn_safe = jnp.where(dn > 0, dn, 1.0)
+        out = []
+        offs = jnp.zeros((R,), dt)
+        dead = jnp.zeros((R,), bool)
+        for _ in range(k):
+            offs_l, dist = self._sdf_march(lf, pl, dl, offs, dead)
+            hit = (~dead) & (jnp.abs(dist) <= self.eps)
+            t_world = jnp.where(hit & (offs_l > 0), offs_l / dn_safe, INF)
+            out.append(t_world)
+            dead = dead | ~hit
+            offs = offs_l + 4.0 * self.eps   # step through the eps shell
+        return jnp.stack(out, axis=-1)       # [R, k]
 
-    def _leaf_inside(self, lf: sir.Leaf, x, key=None):
-        """inside predicate (side == -1) of one leaf at points x [R,3]."""
-        g = (lambda f, v: self._t(key + f, v)) if key else \
-            (lambda f, v: jnp.asarray(v))
-        if lf.family == sir.PLANE:
-            n = g("n", lf.n.astype(self.dtype))
-            k = g("k", np.asarray(lf.k, self.dtype))
-            return _dot(x, n) + k <= 0
-        if lf.family == sir.SPHERE:
-            c = g("c", lf.c.astype(self.dtype))
-            r = g("r", np.asarray(lf.r, self.dtype))
-            return _dot(x - c, x - c) <= r * r
-        if lf.family == sir.QUADRIC:
-            m = g("m", lf.m.astype(self.dtype))
-            m0 = g("m0", lf.m0.astype(self.dtype))
-            coef = g("coef", lf.coef.astype(self.dtype))
-            r = g("r", np.asarray(lf.r, self.dtype))
-            xl = jnp.einsum("ij,rj->ri", m, x) + m0
-            return jnp.sum(coef * xl * xl, -1) + r <= 0
-        if lf.family == sir.SDF:
-            m = jnp.asarray(lf.m.astype(self.dtype))
-            m0 = jnp.asarray(lf.m0.astype(self.dtype))
-            xl = jnp.einsum("ij,rj->ri", m, x) + m0
-            return _sdf_eval(lf.sdf_kind, lf.sdf_param, xl) <= 0
-        raise ValueError(lf.family)
-
-    def _leaf_crossings(self, lf: sir.Leaf, p, d, key=None):
-        """All surface crossings of one leaf along p+td, as a [R, k] array
-        (k in {1, 2}); non-crossings are INF."""
-        g = (lambda f, v: self._t(key + f, v)) if key else \
-            (lambda f, v: jnp.asarray(v))
-        if lf.family == sir.PLANE:
-            n = g("n", lf.n.astype(self.dtype))
-            k = g("k", np.asarray(lf.k, self.dtype))
-            div = _dot(d, n)
-            num = -(_dot(p, n) + k)
-            t = jnp.where(div != 0, num / jnp.where(div != 0, div, 1.0), INF)
-            return t[:, None]
-        if lf.family == sir.SPHERE:
-            c = g("c", lf.c.astype(self.dtype))
-            r = g("r", np.asarray(lf.r, self.dtype))
-            t0, t1 = _sphere_roots(c, r, p, d)
-            return jnp.stack([t0, t1], axis=-1)
-        if lf.family == sir.QUADRIC:
-            m = g("m", lf.m.astype(self.dtype))
-            m0 = g("m0", lf.m0.astype(self.dtype))
-            coef = g("coef", lf.coef.astype(self.dtype))
-            r = g("r", np.asarray(lf.r, self.dtype))
-            pl, dl, f, fs, fq = _quadric_setup(m, m0, coef, p, d)
-            t0, t1 = _quadric_roots(f, fs, fq, r)
-            return jnp.stack([t0, t1], axis=-1)
-        if lf.family == sir.SDF:
-            raise NotImplementedError(
-                "SDF leaves inside CSG composites are not supported yet")
-        raise ValueError(lf.family)
-
-    def _leaf_normal(self, lf: sir.Leaf, x, key=None):
-        """Geometric normal of a leaf at surface points x [R,3], with the
-        Neg-ancestor flip baked in."""
-        g = (lambda f, v: self._t(key + f, v)) if key else \
-            (lambda f, v: jnp.asarray(v))
-        if lf.family == sir.PLANE:
-            n = g("n", lf.n.astype(self.dtype))
-            out = jnp.broadcast_to(n, x.shape)
-        elif lf.family == sir.SPHERE:
-            c = g("c", lf.c.astype(self.dtype))
-            out = _norm3(x - c)
-        elif lf.family == sir.QUADRIC:
-            m = g("m", lf.m.astype(self.dtype))
-            m0 = g("m0", lf.m0.astype(self.dtype))
-            coef = g("coef", lf.coef.astype(self.dtype))
-            xl = jnp.einsum("ij,rj->ri", m, x) + m0
-            out = _norm3(jnp.einsum("ri,ij->rj", coef * xl, m))
-        else:
-            raise ValueError(lf.family)
-        return -out if lf.neg else out
+    # -- composite objects -----------------------------------------------
 
     @staticmethod
-    def _tree_eval(tree, bits):
-        """Static unroll of the CSG tree program over per-leaf inside bits
-        (bits[..., L] bool, leaf axis last)."""
+    def _tree_eval_bits(tree, words, nbits=32):
+        """Static unroll of the CSG tree program over bit-packed per-leaf
+        inside parities (words: list of [R, NC] uint32)."""
         if tree[0] == "leaf":
-            return bits[..., tree[1]]
+            li = tree[1]
+            w = words[li // nbits]
+            return ((w >> np.uint32(li % nbits)) & np.uint32(1)) != 0
         if tree[0] == "and":
-            return Tracer._tree_eval(tree[1], bits) \
-                & Tracer._tree_eval(tree[2], bits)
+            return Tracer._tree_eval_bits(tree[1], words, nbits) \
+                & Tracer._tree_eval_bits(tree[2], words, nbits)
         if tree[0] == "or":
-            return Tracer._tree_eval(tree[1], bits) \
-                | Tracer._tree_eval(tree[2], bits)
+            return Tracer._tree_eval_bits(tree[1], words, nbits) \
+                | Tracer._tree_eval_bits(tree[2], words, nbits)
         if tree[0] == "not":
-            return ~Tracer._tree_eval(tree[1], bits)
+            return ~Tracer._tree_eval_bits(tree[1], words, nbits)
         raise ValueError(tree)
 
-    def _hit_composite(self, obj: sir.ObjIR, p, d, ci=None):
-        """Crossing-parity walk, fully vectorized and sort-free: for every
-        forward leaf crossing j, the composite's inside bits just before
-        and just after t_j are the origin-side bits XOR the parity of each
-        leaf's crossings at t < t_j (resp. t <= t_j).  A crossing is the
-        boundary iff the tree value differs across it; the hit is the
-        minimum such t.  Coincident crossings are evaluated jointly on
-        both sides, reproducing the reference's eps-shell behavior
-        (reference src/objects.c:1052-1094).  No sort, no while_loop —
-        pure compare/XOR/min VPU code, reverse-mode differentiable.
-        Returns (t[R] eps-backed, nor[R,3])."""
-        R = p.shape[0]
-        dt = self.dtype
-        L = len(obj.leaves)
-        keys = [f"c{ci}_l{li}_" if ci is not None else None
-                for li in range(L)]
-        cross_per_leaf = [self._leaf_crossings(lf, p, d, key=keys[li])
-                          for li, lf in enumerate(obj.leaves)]
-        crossings = jnp.concatenate(cross_per_leaf, axis=-1)
-        cols_of_leaf = []
+    def _composite_crossings(self, comp: _Composite, tabs, p, d):
+        """Forward crossings [R, NC] + per-column local leaf ids + origin
+        inside bits [R, Lc] for one composite."""
+        arows = np.asarray([r for r in comp.rows if r >= 0], np.int32)
+        cross_cols = []
         leaf_of_col = []
-        c0 = 0
-        for li, lf in enumerate(obj.leaves):
-            k = 1 if lf.family == sir.PLANE else 2
-            cols_of_leaf.append(list(range(c0, c0 + k)))
-            leaf_of_col += [li] * k
-            c0 += k
-        leaf_of_col = np.array(leaf_of_col, np.int32)
-        NC = crossings.shape[-1]
-        # only forward crossings count
-        crossings = jnp.where(crossings > 0, crossings, INF)
-        valid = jnp.isfinite(crossings)
+        inside = [None] * len(comp.rows)
+        if len(arows):
+            A, Bq, Cq, _, _ = self._quads(tabs, arows, p, d)
+            t0u, t1u, _, _, _, _ = self._roots(A, Bq, Cq)
+            ai = 0
+            for li, row in enumerate(comp.rows):
+                if row < 0:
+                    continue
+                cross_cols.append(t0u[:, ai]); leaf_of_col.append(li)
+                cross_cols.append(t1u[:, ai]); leaf_of_col.append(li)
+                inside[li] = Cq[:, ai] <= 0   # side(p) = C
+                ai += 1
+        for li, lf in enumerate(comp.sdf_leaves):
+            if lf is None:
+                continue
+            ts = self._sdf_crossings(lf, p, d, SDF_CROSSINGS)
+            for kk in range(SDF_CROSSINGS):
+                cross_cols.append(ts[:, kk]); leaf_of_col.append(li)
+            plq = jnp.einsum("ij,rj->ri", jnp.asarray(lf.m.astype(self.dtype)),
+                             p) + jnp.asarray(lf.m0.astype(self.dtype))
+            inside[li] = _sdf_eval(lf.sdf_kind, lf.sdf_param, plq) <= 0
+        cross = jnp.stack(cross_cols, axis=-1)          # [R, NC]
+        cross = jnp.where(cross > 0, cross, INF)
+        return cross, np.asarray(leaf_of_col, np.int32), inside
 
-        # per-leaf crossing parity before/after each candidate crossing j:
-        # leaf l contributes <= 2 columns, so the parity is one or two
-        # broadcast compares + XOR per leaf — [R, NC] each
-        par_after, par_before = [], []
-        for cs in cols_of_leaf:
-            pa = jnp.zeros((R, NC), bool)
-            pb = jnp.zeros((R, NC), bool)
-            for c in cs:
-                tc = crossings[:, c:c + 1]
-                vc = valid[:, c:c + 1]
-                pa = pa ^ ((tc <= crossings) & vc)
-                pb = pb ^ ((tc < crossings) & vc)
-            par_after.append(pa)
-            par_before.append(pb)
-        par_after = jnp.stack(par_after, axis=-1)    # [R, NC, L]
-        par_before = jnp.stack(par_before, axis=-1)
+    def _walk(self, comp: _Composite, cross, leaf_of_col, inside):
+        """Bit-packed crossing-parity walk: the composite's inside value is
+        evaluated just before and just after every candidate crossing; the
+        nearest flip is the boundary.  Returns (t_boundary [R] eps-backed,
+        local leaf id [R])."""
+        R, NC = cross.shape
+        Lc = len(comp.rows)
+        nw = (Lc + 31) // 32
+        valid = jnp.isfinite(cross)
 
-        bits0 = jnp.stack(
-            [self._leaf_inside(lf, p, key=keys[li])
-             for li, lf in enumerate(obj.leaves)], axis=-1)  # [R, L]
+        # origin-side bits packed into words [R]
+        bits0 = [jnp.zeros((R,), jnp.uint32) for _ in range(nw)]
+        for li in range(Lc):
+            b = inside[li].astype(jnp.uint32) << np.uint32(li % 32)
+            bits0[li // 32] = bits0[li // 32] | b
 
-        val_after = self._tree_eval(obj.tree, bits0[:, None, :] ^ par_after)
-        val_before = self._tree_eval(obj.tree,
-                                     bits0[:, None, :] ^ par_before)
-        flip = (val_after != val_before) & valid             # [R, NC]
+        # parity words [R, NC]: bit li flips once per crossing of leaf li
+        # at t < t_j (before) / t <= t_j (after)
+        pa = [jnp.zeros((R, NC), jnp.uint32) for _ in range(nw)]
+        pb = [jnp.zeros((R, NC), jnp.uint32) for _ in range(nw)]
+        for c in range(NC):
+            li = int(leaf_of_col[c])
+            tc = cross[:, c:c + 1]
+            vc = valid[:, c:c + 1]
+            ba = (((tc <= cross) & vc).astype(jnp.uint32)
+                  << np.uint32(li % 32))
+            bb = (((tc < cross) & vc).astype(jnp.uint32)
+                  << np.uint32(li % 32))
+            pa[li // 32] = pa[li // 32] ^ ba
+            pb[li // 32] = pb[li // 32] ^ bb
 
-        tcand = jnp.where(flip, crossings, INF)
+        wa = [bits0[w][:, None] ^ pa[w] for w in range(nw)]
+        wb = [bits0[w][:, None] ^ pb[w] for w in range(nw)]
+        val_a = self._tree_eval_bits(comp.tree, wa)
+        val_b = self._tree_eval_bits(comp.tree, wb)
+        flip = (val_a != val_b) & valid                  # [R, NC]
+
+        tcand = jnp.where(flip, cross, INF)
         j = jnp.argmin(tcand, axis=1)
         hit_t = jnp.min(tcand, axis=1)
-        has = jnp.isfinite(hit_t)
-        hit_leaf = jnp.where(has, jnp.asarray(leaf_of_col)[j], -1)
+        leaf_loc = jnp.asarray(leaf_of_col)[j]
+        return hit_t, leaf_loc
 
-        # envelope culling (object-level)
-        if obj.env_c is not None and obj.env_r > 0:
-            gate = _env_gate(jnp.asarray(obj.env_c.astype(dt)),
-                             dt.type(obj.env_r), p, d)
+    def _hit_composite(self, comp: _Composite, tabs, p, d):
+        """Boundary hit of one composite.  Returns (t [R] eps-backed,
+        local leaf [R], global row [R] (-1 for SDF leaves),
+        sdf index map)."""
+        cross, leaf_of_col, inside = self._composite_crossings(
+            comp, tabs, p, d)
+        hit_t, leaf_loc = self._walk(comp, cross, leaf_of_col, inside)
+        if comp.env_c is not None and comp.env_r > 0:
+            gate = self._env_gate_one(comp.env_c, comp.env_r, p, d)
             hit_t = jnp.where(gate, hit_t, INF)
+        rows_map = jnp.asarray(np.asarray(comp.rows, np.int32))
+        row = rows_map[leaf_loc]
+        a = jnp.where(jnp.isfinite(hit_t), hit_t - self.eps, INF)
+        return a, leaf_loc, row
 
-        # normal of the winning leaf
-        hx = p + d * jnp.where(jnp.isfinite(hit_t), hit_t, 0.0)[:, None]
-        nor = jnp.zeros((R, 3), dt)
-        for li, lf in enumerate(obj.leaves):
-            mask = hit_leaf == li
-            nl = self._leaf_normal(lf, hx, key=keys[li])
-            nor = jnp.where(mask[:, None], nl, nor)
-        return jnp.where(jnp.isfinite(hit_t), hit_t - self.eps, INF), nor
+    def _shadow_composite(self, comp: _Composite, tabs, p, d, limit):
+        """Any boundary flip within (0, limit]: the shadow-side equivalent
+        of _hit_composite without argmin/normals."""
+        cross, leaf_of_col, inside = self._composite_crossings(
+            comp, tabs, p, d)
+        hit_t, _ = self._walk(comp, cross, leaf_of_col, inside)
+        blocked = jnp.isfinite(hit_t) & (hit_t - self.eps <= limit)
+        if comp.env_c is not None and comp.env_r > 0:
+            blocked = blocked & self._env_gate_one(comp.env_c, comp.env_r,
+                                                   p, d)
+        return blocked
 
-    # -- public queries ----------------------------------------------------
+    # -- core query --------------------------------------------------------
 
-    def _groups(self, p, d, matter_only):
-        """All candidate groups as (t [R,k], nor [R,k,3], oid [R,k],
-        sign [R,k]) tuples."""
+    def _single_chunks(self, matter_only):
+        """Static chunk partition of candidate rows (single-leaf objects)."""
+        rows = self.single_rows
+        if matter_only and len(rows):
+            rows = rows[~self.tab.is_light[rows]]
+        return [rows[i:i + CHUNK] for i in range(0, len(rows), CHUNK)]
+
+    def _chunk_candidates(self, tabs, rows, p, d):
+        """Policy-root candidates [R, c] for one chunk of single rows."""
+        A, Bq, Cq, _, _ = self._quads(tabs, rows, p, d)
+        t0u, t1u, s, q, ok, _ = self._roots(A, Bq, Cq)
+        a = self._policy(self.tab.kind[rows], t0u, t1u, s, q, ok)
+        return jnp.where(self._env_gate_rows(rows, p, d), a, INF)
+
+    def _query(self, p, d, matter_only, want2, rng_rough):
+        """Top-1/2 hit over the whole scene, single pass.  Returns
+        (t [R,2], nor [R,2,3], oid [R,2], sign [R,2]) (second column
+        dummy when want2=False)."""
         dt = self.dtype
+        p = jnp.asarray(p, dt)
+        d = jnp.asarray(d, dt)
         R = p.shape[0]
-        out = []
-        for fam in (self._sphere_group, self._plane_group,
-                    self._quadric_group):
-            g = fam(p, d, matter_only)
-            if g is not None:
-                out.append(g)
+        tabs = self._assemble()
+        kw = 2 if want2 else 1
 
-        for lf, oid, env_c, env_r in self.tb.sdf:
-            if matter_only and self.is_light[oid]:
+        # 1. single-leaf objects, chunked running top-k merge
+        best_t = jnp.full((R, kw), INF, dt)
+        best_row = jnp.zeros((R, kw), jnp.int32)
+        for rows in self._single_chunks(matter_only):
+            a = self._chunk_candidates(tabs, rows, p, d)
+            if want2:
+                tkc, ikc = _top2_cols(a)
+            else:
+                ikc = jnp.argmin(a, axis=1).astype(jnp.int32)[:, None]
+                tkc = jnp.min(a, axis=1)[:, None]
+            if len(rows) <= 64:
+                rows_f = jnp.asarray(rows, dt)
+                oh = ikc[..., None] == jnp.arange(len(rows),
+                                                  dtype=jnp.int32)
+                rkc = jnp.sum(jnp.where(oh, rows_f, 0), -1).astype(jnp.int32)
+            else:
+                rkc = jnp.asarray(rows)[ikc]
+            cand_t = jnp.concatenate([best_t, tkc], axis=1)
+            cand_r = jnp.concatenate([best_row, rkc], axis=1)
+            if want2:
+                best_t, sel = _top2_cols(cand_t)
+            else:
+                sel = jnp.argmin(cand_t, axis=1)[:, None]
+                best_t = jnp.min(cand_t, axis=1)[:, None]
+            best_row = _take_cols(cand_r, sel)
+
+        # 2. final candidate columns: the kw single winners + one column
+        # per composite + one per standalone SDF object
+        cols_t = [best_t[:, i] for i in range(kw)]
+        cols_row = [best_row[:, i] for i in range(kw)]
+        oid_special = []  # (col, const oid) for SDF-surface winners
+        nor_ovr = []      # (col, [R,3]) explicit normals (SDF surfaces)
+
+        for comp in self.composites:
+            if matter_only and comp.is_light:
+                continue
+            a, leaf_loc, row = self._hit_composite(comp, tabs, p, d)
+            k = len(cols_t)
+            cols_t.append(a)
+            cols_row.append(row)
+            sdfs = [(li, lf) for li, lf in enumerate(comp.sdf_leaves)
+                    if lf is not None]
+            if sdfs:
+                oid_special.append((k, comp.oid))
+                t_safe = jnp.where(jnp.isfinite(a), a, 0.0)
+                hx = p + d * t_safe[:, None]
+                nor = jnp.zeros((R, 3), dt)
+                for li, lf in sdfs:
+                    m = jnp.asarray(lf.m.astype(dt))
+                    m0l = jnp.asarray(lf.m0.astype(dt))
+                    ql = jnp.einsum("ij,rj->ri", m, hx) + m0l
+                    nl = self._sdf_normal(lf, ql)
+                    nor = jnp.where((leaf_loc == li)[:, None], nl, nor)
+                nor_ovr.append((k, nor))
+
+        for lf, oid, env_c, env_r, light in self.sdf_singles:
+            if matter_only and light:
                 continue
             a, nor = self._hit_sdf_leaf(lf, env_c, env_r, p, d)
-            sign = jnp.where(_dot(nor, d) > 0, 1.0, -1.0).astype(dt)
-            out.append((a[:, None], nor[:, None, :],
-                        jnp.full((R, 1), oid, jnp.int32), sign[:, None]))
+            k = len(cols_t)
+            cols_t.append(a)
+            cols_row.append(jnp.full((R,), -1, jnp.int32))
+            oid_special.append((k, oid))
+            nor_ovr.append((k, nor))
 
-        for ci, (obj, oid) in enumerate(self.tb.composites):
-            if matter_only and self.is_light[oid]:
-                continue
-            a, nor = self._hit_composite(obj, p, d, ci=ci)
-            sign = jnp.where(_dot(nor, d) > 0, 1.0, -1.0).astype(dt)
-            out.append((a[:, None], nor[:, None, :],
-                        jnp.full((R, 1), oid, jnp.int32), sign[:, None]))
-        return out
+        T = jnp.stack(cols_t, axis=1)                      # [R, K]
+        ROWS = jnp.stack(cols_row, axis=1)
+
+        if want2:
+            t12, sel = _top2_cols(T)
+        else:
+            sel = jnp.argmin(T, axis=1).astype(jnp.int32)[:, None]
+            t12 = jnp.min(T, axis=1)[:, None]
+        row12 = _take_cols(ROWS, sel)                      # [R, kw]
+
+        # 3. winner normals + oid from the unified table: ONE packed
+        # parameter-matrix lookup for the kw winners (one-hot matmul for
+        # small tables — TPU gathers run at ~4 GB/s, the matmul at full
+        # MXU rate), then the analytic gradient (2 c2 y + c1) M.
+        M, m0, c2, c1, rr = tabs
+        L = len(self.tab)
+        t_safe = jnp.where(jnp.isfinite(t12), t12, 0.0)
+        x = p[:, None, :] + d[:, None, :] * t_safe[..., None]  # [R,kw,3]
+        if L:
+            hi = jax.lax.Precision.HIGHEST
+            row_s = jnp.maximum(row12, 0)
+            P = jnp.concatenate([
+                M.reshape(L, 9), m0, c2, c1,
+                jnp.asarray(self.tab.neg, dt)[:, None],
+                jnp.asarray(self.tab.oid, dt)[:, None]], axis=1)   # [L,20]
+            if L <= 64:
+                oh = (row_s[..., None]
+                      == jnp.arange(L, dtype=jnp.int32)).astype(dt)
+                Pw = jnp.einsum("rkl,lf->rkf", oh, P, precision=hi)
+            else:
+                Pw = P[row_s]
+            Mw = Pw[..., 0:9].reshape(row_s.shape + (3, 3))
+            m0w, c2w, c1w = Pw[..., 9:12], Pw[..., 12:15], Pw[..., 15:18]
+            negw = Pw[..., 18] > 0.5
+            oid12 = jnp.round(Pw[..., 19]).astype(jnp.int32)
+            y = jnp.einsum("rkij,rkj->rki", Mw, x, precision=hi) + m0w
+            grad = jnp.einsum("rki,rkij->rkj", 2.0 * c2w * y + c1w, Mw,
+                              precision=hi)
+            nor = _norm3(grad)
+            nor = jnp.where(negw[..., None], -nor, nor)
+        else:
+            nor = jnp.zeros((R, kw, 3), dt)
+            oid12 = jnp.zeros((R, kw), jnp.int32)
+        for k, oc in oid_special:
+            oid12 = jnp.where((sel == k) & (row12 == -1), oc, oid12)
+        for k, n_ovr in nor_ovr:
+            use = (sel == k)[..., None] & (row12 == -1)[..., None]
+            nor = jnp.where(use, n_ovr[:, None, :], nor)
+
+        sign = jnp.where(_dot(nor, d[:, None, :]) > 0, 1.0, -1.0).astype(dt)
+
+        fin = jnp.isfinite(t12)
+        nor = jnp.where(fin[..., None], nor, 0.0)
+        oid12 = jnp.where(fin, oid12, -1)
+        sign = jnp.where(fin, sign, 0.0)
+
+        if rng_rough and np.any(self.roughness > 0):
+            n1 = self._perturb(nor[:, 0, :], p, d, t12[:, 0], oid12[:, 0])
+            nor = nor.at[:, 0, :].set(n1)
+        return t12, nor, oid12, sign
+
+    # -- public queries ----------------------------------------------------
 
     def nearest2(self, p, d, matter_only=False, rng_rough=True):
         """Nearest AND second-nearest hit over the whole scene, one pass.
@@ -754,74 +903,16 @@ class Tracer:
         nor=0 where miss.  The second hit is the coincident-surface
         candidate for media-transition resolution (reference
         src/compound.c:246-299)."""
-        dt = self.dtype
-        p = jnp.asarray(p, dt)
-        d = jnp.asarray(d, dt)
-        R = p.shape[0]
-
-        groups = self._groups(p, d, matter_only)
-        if not groups:
-            z1 = jnp.full((R,), INF, dt)
-            z3 = jnp.zeros((R, 3), dt)
-            zi = jnp.full((R,), -1, jnp.int32)
-            zs = jnp.zeros((R,), dt)
-            return z1, z3, zi, zs, z1, z3, zi, zs
-
-        T = jnp.concatenate([g[0] for g in groups], axis=1)      # [R, E]
-        NOR = jnp.concatenate([g[1] for g in groups], axis=1)    # [R, E, 3]
-        OID = jnp.concatenate([g[2] for g in groups], axis=1)
-        SGN = jnp.concatenate([g[3] for g in groups], axis=1)
-
-        t2v, sel = _top2_cols(T)                                  # [R, 2]
-        nor = jnp.take_along_axis(NOR, sel[..., None], axis=1)
-        oid = jnp.take_along_axis(OID, sel, axis=1)
-        sgn = jnp.take_along_axis(SGN, sel, axis=1)
-
-        fin = jnp.isfinite(t2v)
-        nor = jnp.where(fin[..., None], nor, 0.0)
-        oid = jnp.where(fin, oid, -1)
-        sgn = jnp.where(fin, sgn, 0.0)
-
-        nor1 = nor[:, 0, :]
-        if rng_rough and np.any(self.roughness > 0):
-            nor1 = self._perturb(nor1, p, d, t2v[:, 0], oid[:, 0])
-
-        return (t2v[:, 0], nor1, oid[:, 0], sgn[:, 0],
-                t2v[:, 1], nor[:, 1, :], oid[:, 1], sgn[:, 1])
+        t12, nor, oid, sign = self._query(p, d, matter_only, True, rng_rough)
+        return (t12[:, 0], nor[:, 0, :], oid[:, 0], sign[:, 0],
+                t12[:, 1], nor[:, 1, :], oid[:, 1], sign[:, 1])
 
     def nearest(self, p, d, matter_only=False, rng_rough=True):
         """Nearest hit over the whole scene.
-        Returns (t[R], nor[R,3], oid[R], sign[R]; oid=-1 where miss)."""
-        dt = self.dtype
-        p = jnp.asarray(p, dt)
-        d = jnp.asarray(d, dt)
-        R = p.shape[0]
-
-        groups = self._groups(p, d, matter_only)
-        if not groups:
-            return (jnp.full((R,), INF, dt), jnp.zeros((R, 3), dt),
-                    jnp.full((R,), -1, jnp.int32), jnp.zeros((R,), dt))
-
-        T = jnp.concatenate([g[0] for g in groups], axis=1)
-        NOR = jnp.concatenate([g[1] for g in groups], axis=1)
-        OID = jnp.concatenate([g[2] for g in groups], axis=1)
-        SGN = jnp.concatenate([g[3] for g in groups], axis=1)
-
-        sel = jnp.argmin(T, axis=1)
-        t_min = jnp.min(T, axis=1)
-        nor = jnp.take_along_axis(NOR, sel[:, None, None], axis=1)[:, 0, :]
-        oid = jnp.take_along_axis(OID, sel[:, None], axis=1)[:, 0]
-        sign = jnp.take_along_axis(SGN, sel[:, None], axis=1)[:, 0]
-
-        fin = jnp.isfinite(t_min)
-        nor = jnp.where(fin[:, None], nor, 0.0)
-        oid = jnp.where(fin, oid, -1)
-        sign = jnp.where(fin, sign, 0.0)
-
-        if rng_rough and np.any(self.roughness > 0):
-            nor = self._perturb(nor, p, d, t_min, oid)
-
-        return t_min, nor, oid, sign
+        Returns (t[R], nor[R,3], oid[R], sign[R]); oid=-1 where miss."""
+        t12, nor, oid, sign = self._query(p, d, matter_only, False,
+                                          rng_rough)
+        return t12[:, 0], nor[:, 0, :], oid[:, 0], sign[:, 0]
 
     def _perturb(self, nor, p, d, t, oid):
         """Surface-roughness normal perturbation (reference
@@ -871,10 +962,38 @@ class Tracer:
         compound_s_ray_trans_hit(scene->matter, ...))."""
         return self._trans_from_pair(self.nearest2(p, d, matter_only=True))
 
+    # -- shadow queries ------------------------------------------------------
+
+    def shadow_blocked(self, p, d, limit):
+        """True where ANY matter hit lies within (.., limit] — the NEE
+        shadow test `compound_s_ray_hit(matter) > a` (reference
+        src/scene.c:571) as a cheap any-hit reduction: no top-2 merge, no
+        normals, no winner reconstruction."""
+        dt = self.dtype
+        p = jnp.asarray(p, dt)
+        d = jnp.asarray(d, dt)
+        R = p.shape[0]
+        tabs = self._assemble()
+        blocked = jnp.zeros((R,), bool)
+        for rows in self._single_chunks(True):
+            a = self._chunk_candidates(tabs, rows, p, d)
+            blocked = blocked | jnp.any(a <= limit[:, None], axis=1)
+        for comp in self.composites:
+            if comp.is_light:
+                continue
+            blocked = blocked | self._shadow_composite(comp, tabs, p, d,
+                                                       limit)
+        for lf, oid, env_c, env_r, light in self.sdf_singles:
+            if light:
+                continue
+            a, _ = self._hit_sdf_leaf(lf, env_c, env_r, p, d)
+            blocked = blocked | (a <= limit)
+        return blocked
+
     def shadow_nearest_t(self, p, d):
-        """Nearest matter hit distance (the NEE shadow test uses
-        compound_s_ray_hit(matter) > a, reference src/scene.c:571).
-        Normals are irrelevant to the comparison, so roughness is skipped."""
+        """Nearest matter hit distance (normals irrelevant, roughness
+        skipped).  Kept for direct use/tests; the integrator uses
+        shadow_blocked."""
         t, _, _, _ = self.nearest(p, d, matter_only=True, rng_rough=False)
         return t
 
