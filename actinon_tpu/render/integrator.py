@@ -704,7 +704,10 @@ class Integrator:
             sid, contrib, children, _ = self._step(lanes, path_ray=False)
             acc = acc.at[sid].add(jnp.where(valid[:, None], contrib, 0.0))
 
-            # compact [3B] child candidates into a dense prefix
+            # compact [3B] child candidates into a dense prefix.  TPU
+            # scatters run at ~4 GB/s, so scatter ONLY a [3B] int32 source
+            # index (0.4 MB) and pull the 12 row fields through one gather
+            # instead of scattering full rows (4.7 MB)
             ch = [children["fresnel"], children["chromatic"],
                   children["refract"]]
             cmask = jnp.concatenate([c["mask"] & valid & (c["intensity"] > 0)
@@ -715,13 +718,15 @@ class Integrator:
             nv_fit = jnp.minimum(nv, C - s)
             dropped = dropped + (nv - nv_fit)
 
+            src = jnp.zeros((3 * B,), jnp.int32).at[pos].set(
+                jnp.arange(3 * B, dtype=jnp.int32), mode="drop")
+            live = jnp.arange(3 * B) < nv_fit
             qn = {}
             for f in ("p", "d", "intensity", "tint", "depth", "sample_id"):
                 a = jnp.concatenate([c[f] for c in ch])
-                z = jnp.zeros((3 * B,) + a.shape[1:], a.dtype)
-                comp = z.at[pos].set(a, mode="drop")
+                comp = a[src]
                 if f == "intensity":
-                    comp = jnp.where(jnp.arange(3 * B) < nv_fit, comp, 0.0)
+                    comp = jnp.where(live, comp, 0.0)
                 qn[f] = jax.lax.dynamic_update_slice_in_dim(
                     q[f], comp.astype(q[f].dtype), s, axis=0)
             return (qn, s + nv_fit, acc, it + 1, dropped, queries + take)

@@ -1,0 +1,348 @@
+"""Pallas TPU kernels for the hot traversal queries.
+
+The XLA tracer (tracer.py) materializes [R, L]-shaped intermediates in
+HBM for every ray-times-leaf quantity; at wavefront batch sizes that is
+bandwidth-bound at ~200 GB/s over dozens of arrays.  These kernels fuse
+the whole traversal into straight-line VPU code over [ROWS, 128] ray
+tiles: scene geometry is baked in as immediate constants (the kernel is
+generated per scene, exactly like a jit specialization), so the only HBM
+traffic is the ray state itself (~50 B/ray).
+
+Replaces the reference's per-object hit loop (compound_s_ray_hit,
+reference src/compound.c:215-244) for the NEE shadow query
+(reference src/scene.c:571) and the transition trace — same math as
+tracer.Tracer, verified against it by tests/test_pallas.py.
+
+Kernels are used only on the non-differentiable fast path (no geometry
+overrides, no AD); tracer.py's XLA path remains the reference
+implementation and the CPU/diff fallback.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from actinon_tpu.scene import ir as sir
+
+INF = jnp.inf
+ROWS = 32                 # sublane rows per grid step (ROWS*128 rays)
+MAX_COMP_COLS = 64        # composite size cap for the unrolled parity walk
+
+
+def _pl():
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    return pl, pltpu
+
+
+# ---------------------------------------------------------------------------
+# per-leaf straight-line math with python-constant parameters
+
+
+def _leaf_pl_dl(px, py, pz, dx, dy, dz, M, m0):
+    """y = M x + m0 component-wise with immediate constants; skips exact
+    zeros at trace time."""
+    def row(i, vx, vy, vz, add):
+        out = None
+        for coef, v in ((M[i][0], vx), (M[i][1], vy), (M[i][2], vz)):
+            if coef != 0.0:
+                term = coef * v
+                out = term if out is None else out + term
+        if add != 0.0 or out is None:
+            out = add + out if out is not None else add + (vx * 0.0)
+        return out
+    plv = [row(i, px, py, pz, m0[i]) for i in range(3)]
+    dlv = [row(i, dx, dy, dz, 0.0) for i in range(3)]
+    return plv, dlv
+
+
+def _dot_const(c, v):
+    """sum_i c_i v_i with python-constant c, skipping zeros."""
+    out = None
+    for ci, vi in zip(c, v):
+        if ci != 0.0:
+            term = ci * vi if ci != 1.0 else vi
+            out = term if out is None else out + term
+    return out
+
+
+def _leaf_quads(px, py, pz, dx, dy, dz, leaf):
+    """(A, B, C) of the leaf's quadratic along the ray; A is None when the
+    leaf is linear (plane)."""
+    M, m0, c2, c1, rr = leaf["M"], leaf["m0"], leaf["c2"], leaf["c1"], \
+        leaf["rr"]
+    plv, dlv = _leaf_pl_dl(px, py, pz, dx, dy, dz, M, m0)
+    lin = all(x == 0.0 for x in c2)
+    A = None if lin else _dot_const(c2, [d * d for d in dlv])
+    B = None
+    if not lin:
+        B = 2.0 * _dot_const(c2, [a * b for a, b in zip(dlv, plv)])
+    b1 = _dot_const(c1, dlv)
+    if b1 is not None:
+        B = b1 if B is None else B + b1
+    C = _dot_const(c2, [a * a for a in plv])
+    c1p = _dot_const(c1, plv)
+    if c1p is not None:
+        C = c1p if C is None else C + c1p
+    if rr != 0.0:
+        C = rr if C is None else C + rr
+    if C is None:
+        C = px * 0.0
+    return A, B, C
+
+
+def _stable_roots(A, B, C):
+    """Both roots, cancellation-stable (same math as tracer._roots);
+    returns (t0, t1, s, q, ok)."""
+    safe_A = jnp.where(A != 0, A, 1.0)
+    s = (B * 0.5) / safe_A
+    q = C / safe_A
+    disc = s * s - q
+    ok = (A != 0) & (disc >= 0)
+    root = jnp.sqrt(jnp.where(ok & (disc > 0), disc, 1.0))
+    root = jnp.where(ok & (disc > 0), root, 0.0)
+    ta = -s - root
+    tb = -s + root
+    t0 = jnp.where(s < 0,
+                   jnp.where(jnp.abs(tb) > 0,
+                             q / jnp.where(jnp.abs(tb) > 0, tb, 1.0), ta),
+                   ta)
+    t1 = jnp.where(s > 0,
+                   jnp.where(jnp.abs(ta) > 0,
+                             q / jnp.where(jnp.abs(ta) > 0, ta, 1.0), tb),
+                   tb)
+    return (jnp.where(ok, t0, INF), jnp.where(ok, t1, INF), s, q, ok)
+
+
+def _lin_root(B, C):
+    nz = B != 0
+    return jnp.where(nz, -C / jnp.where(nz, B, 1.0), INF)
+
+
+def _leaf_crossings(px, py, pz, dx, dy, dz, leaf):
+    """Surface crossings of one leaf (1 col for planes, 2 otherwise) plus
+    the origin inside bit (C <= 0)."""
+    A, B, C = _leaf_quads(px, py, pz, dx, dy, dz, leaf)
+    inside = C <= 0
+    if A is None:                       # statically linear (plane)
+        if B is None:
+            return [jnp.full_like(px, INF)], inside
+        return [_lin_root(B, C)], inside
+    if B is None:
+        B = px * 0.0
+    t0, t1, _, _, _ = _stable_roots(A, B, C)
+    # runtime-degenerate quadric (ray parallel to a cylinder axis etc.):
+    # fall back to the linear root, matching tracer._roots
+    lin = A == 0
+    t0 = jnp.where(lin, _lin_root(B, C), t0)
+    t1 = jnp.where(lin, INF, t1)
+    return [t0, t1], inside
+
+
+def _leaf_first_hit(px, py, pz, dx, dy, dz, leaf, eps):
+    """Family root policy (same as tracer._policy) with the family known
+    statically."""
+    A, B, C = _leaf_quads(px, py, pz, dx, dy, dz, leaf)
+    kind = leaf["kind"]
+    if kind == sir.PLANE:
+        nz = B != 0
+        t = jnp.where(nz, -C / jnp.where(nz, B, 1.0), INF)
+        return jnp.where(t > 0, t - eps, INF)
+    if B is None:
+        B = px * 0.0
+    t0, t1, s, q, ok = _stable_roots(A, B, C)
+    if kind == sir.SPHERE:
+        entering = (s < 0) & (q > 0)
+        exiting = (s < 0) | (q < 0)
+        a = jnp.where(entering, t0, jnp.where(exiting, t1, INF))
+        return jnp.where(ok, a - eps, INF)
+    lin = A == 0
+    t0 = jnp.where(lin, _lin_root(B, C), t0)
+    t1 = jnp.where(lin, INF, t1)
+    a = jnp.where(t0 >= 0, t0, jnp.where(t1 >= 0, t1, INF))
+    return jnp.where(jnp.isfinite(a), a - eps, INF)
+
+
+def _env_gate(px, py, pz, dx, dy, dz, env_c, env_r):
+    """Envelope-sphere hit-exists test with constant center/radius."""
+    ex = px - env_c[0]
+    ey = py - env_c[1]
+    ez = pz - env_c[2]
+    s = ex * dx + ey * dy + ez * dz
+    q = ex * ex + ey * ey + ez * ez - env_r * env_r
+    return (s * s - q >= 0) & ((s < 0) | (q < 0))
+
+
+def _tree_eval(tree, bits):
+    if tree[0] == "leaf":
+        return bits[tree[1]]
+    if tree[0] == "and":
+        return _tree_eval(tree[1], bits) & _tree_eval(tree[2], bits)
+    if tree[0] == "or":
+        return _tree_eval(tree[1], bits) | _tree_eval(tree[2], bits)
+    if tree[0] == "not":
+        return ~_tree_eval(tree[1], bits)
+    raise ValueError(tree)
+
+
+# ---------------------------------------------------------------------------
+# scene digest: python-constant geometry for codegen
+
+
+def _leaf_const(tab, row):
+    return dict(
+        M=[[float(tab.M[row][i][j]) for j in range(3)] for i in range(3)],
+        m0=[float(x) for x in tab.m0[row]],
+        c2=[float(x) for x in tab.c2[row]],
+        c1=[float(x) for x in tab.c1[row]],
+        rr=float(tab.rr[row]),
+        kind=int(tab.kind[row]),
+        neg=bool(tab.neg[row]),
+        oid=int(tab.oid[row]),
+        env_c=[float(x) for x in tab.env_c[row]],
+        env_r=float(tab.env_r[row]),
+    )
+
+
+def kernel_coverage(tracer, matter_only):
+    """(singles, comps) the kernel can cover; the tracer handles the rest
+    (SDF marches, oversized composites) on its XLA path."""
+    tab = tracer.tab
+    singles = []
+    for row in tracer.single_rows:
+        if matter_only and tab.is_light[row]:
+            continue
+        singles.append(_leaf_const(tab, row))
+    comps = []
+    rest = []
+    for comp in tracer.composites:
+        if matter_only and comp.is_light:
+            continue
+        n_analytic = sum(1 for r in comp.rows if r >= 0)
+        if any(lf is not None for lf in comp.sdf_leaves) \
+                or 2 * n_analytic > MAX_COMP_COLS:
+            rest.append(comp)
+            continue
+        comps.append(dict(
+            tree=comp.tree,
+            leaves=[_leaf_const(tab, r) if r >= 0 else None
+                    for r in comp.rows],
+            env_c=[float(x) for x in comp.env_c] if comp.env_c is not None
+            else None,
+            env_r=float(comp.env_r),
+            oid=comp.oid))
+    return singles, comps, rest
+
+
+def _comp_boundary(px, py, pz, dx, dy, dz, comp, eps):
+    """Nearest boundary flip of one composite: crossing-parity walk fully
+    unrolled over immediate-constant leaves.  Returns (t_raw [.,128],
+    leaf_onehot list) with t_raw the un-backed crossing offset."""
+    cross = []          # flat crossing vectors
+    col_leaf = []       # owning local leaf per column
+    inside = []
+    for li, leaf in enumerate(comp["leaves"]):
+        cs, ins = _leaf_crossings(px, py, pz, dx, dy, dz, leaf)
+        for c in cs:
+            cross.append(jnp.where(c > 0, c, INF))
+            col_leaf.append(li)
+        inside.append(ins)
+    NC = len(cross)
+    Lc = len(comp["leaves"])
+
+    best = jnp.full_like(px, INF)
+    best_leaf = [jnp.zeros_like(px, dtype=jnp.bool_) for _ in range(Lc)]
+    for j in range(NC):
+        tj = cross[j]
+        vj = jnp.isfinite(tj)
+        # per-leaf parity strictly-before / at-or-before t_j
+        pa = [None] * Lc
+        pb = [None] * Lc
+        for c in range(NC):
+            li = col_leaf[c]
+            vc = jnp.isfinite(cross[c])
+            xa = (cross[c] <= tj) & vc
+            xb = (cross[c] < tj) & vc
+            pa[li] = xa if pa[li] is None else pa[li] ^ xa
+            pb[li] = xb if pb[li] is None else pb[li] ^ xb
+        ba = [inside[li] ^ pa[li] for li in range(Lc)]
+        bb = [inside[li] ^ pb[li] for li in range(Lc)]
+        flip = (_tree_eval(comp["tree"], ba)
+                != _tree_eval(comp["tree"], bb)) & vj
+        win = flip & (tj < best)
+        best = jnp.where(win, tj, best)
+        for li in range(Lc):
+            best_leaf[li] = jnp.where(win, li == col_leaf[j],
+                                      best_leaf[li])
+    if comp["env_c"] is not None and comp["env_r"] > 0:
+        gate = _env_gate(px, py, pz, dx, dy, dz, comp["env_c"],
+                         comp["env_r"])
+        best = jnp.where(gate, best, INF)
+    return best, best_leaf
+
+
+# ---------------------------------------------------------------------------
+# shadow any-hit kernel
+
+
+def build_shadow_kernel(tracer, interpret=False):
+    """fn(p [N,3], d [N,3], limit [N]) -> blocked bool [N] over the
+    kernel-coverable scene subset (singles + small analytic composites,
+    matter only).  `interpret=True` runs the kernel on CPU for tests."""
+    pl, pltpu = _pl()
+    singles, comps, rest = kernel_coverage(tracer, matter_only=True)
+    eps = float(tracer.eps)
+
+    def kernel(px_r, py_r, pz_r, dx_r, dy_r, dz_r, lim_r, out_r):
+        px, py, pz = px_r[:], py_r[:], pz_r[:]
+        dx, dy, dz = dx_r[:], dy_r[:], dz_r[:]
+        lim = lim_r[:]
+        blocked = jnp.zeros_like(px, dtype=jnp.bool_)
+        for leaf in singles:
+            a = _leaf_first_hit(px, py, pz, dx, dy, dz, leaf, eps)
+            if leaf["env_r"] > 0:
+                g = _env_gate(px, py, pz, dx, dy, dz, leaf["env_c"],
+                              leaf["env_r"])
+                a = jnp.where(g, a, INF)
+            blocked = blocked | (a <= lim)
+        for comp in comps:
+            t_raw, _ = _comp_boundary(px, py, pz, dx, dy, dz, comp, eps)
+            blocked = blocked | (jnp.isfinite(t_raw)
+                                 & (t_raw - eps <= lim))
+        out_r[:] = blocked.astype(jnp.float32)
+
+    tile = ROWS * 128
+
+    def fn(p, d, limit):
+        N = p.shape[0]
+        Np = -(-N // tile) * tile
+        pad = Np - N
+        f32 = jnp.float32
+
+        def prep(v):
+            return jnp.pad(v.astype(f32), (0, pad)).reshape(-1, 128)
+
+        args = [prep(p[:, 0]), prep(p[:, 1]), prep(p[:, 2]),
+                prep(d[:, 0]), prep(d[:, 1]), prep(d[:, 2]),
+                prep(jnp.where(jnp.isfinite(limit), limit,
+                               jnp.float32(3e38)))]
+        nt = Np // 128
+        spec = pl.BlockSpec((ROWS, 128), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            kernel,
+            grid=(nt // ROWS,),
+            in_specs=[spec] * 7,
+            out_specs=spec,
+            out_shape=jax.ShapeDtypeStruct((nt, 128), f32),
+            interpret=interpret,
+        )(*args)
+        return out.reshape(-1)[:N] > 0
+
+    return fn, rest

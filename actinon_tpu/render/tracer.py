@@ -964,15 +964,42 @@ class Tracer:
 
     # -- shadow queries ------------------------------------------------------
 
+    def _pallas_ok(self):
+        """Fused Pallas kernels apply only on the plain TPU forward path:
+        no traced geometry overrides (diff mode needs AD through the XLA
+        formulas) and a real TPU backend."""
+        if self.ovr or self.diff or not getattr(self, "use_pallas", True):
+            return False
+        import jax as _jax
+        return _jax.default_backend() != "cpu"
+
     def shadow_blocked(self, p, d, limit):
         """True where ANY matter hit lies within (.., limit] — the NEE
         shadow test `compound_s_ray_hit(matter) > a` (reference
         src/scene.c:571) as a cheap any-hit reduction: no top-2 merge, no
-        normals, no winner reconstruction."""
+        normals, no winner reconstruction.  On TPU the analytic scene
+        subset runs as one fused Pallas kernel (pallas_kernels.py)."""
         dt = self.dtype
         p = jnp.asarray(p, dt)
         d = jnp.asarray(d, dt)
         R = p.shape[0]
+        if self._pallas_ok():
+            if not hasattr(self, "_shadow_kernel"):
+                from actinon_tpu.render import pallas_kernels as pk
+                self._shadow_kernel = pk.build_shadow_kernel(self)
+            fn, rest = self._shadow_kernel
+            blocked = fn(p, d, limit)
+            if rest or self.sdf_singles:
+                tabs = self._assemble()
+                for comp in rest:
+                    blocked = blocked | self._shadow_composite(
+                        comp, tabs, p, d, limit)
+                for lf, oid, env_c, env_r, light in self.sdf_singles:
+                    if light:
+                        continue
+                    a, _ = self._hit_sdf_leaf(lf, env_c, env_r, p, d)
+                    blocked = blocked | (a <= limit)
+            return blocked
         tabs = self._assemble()
         blocked = jnp.zeros((R,), bool)
         for rows in self._single_chunks(True):
