@@ -136,14 +136,7 @@ def render_scene(scene, out_file: str, force: bool = False,
                 log(f"pass {cycle}: {len(sel)} pixels -> {len(pos)} samples")
 
             if len(pos):
-                p, d = camera_rays(ir, pos, dtype)
-                primary = RayQueue(
-                    p, d,
-                    np.ones(len(p), dtype),
-                    np.ones((len(p), 3), dtype),
-                    np.full(len(p), cfg.trace_depth, np.int32),
-                    np.arange(len(p), dtype=np.int32))
-                acc = integ.run(primary, len(p))
+                acc = integ.run_samples(pos)
                 # per-sample gamma saturation (reference src/scene.c:1010)
                 sat = np.clip(np.power(np.maximum(acc, 0.0), cfg.gamma),
                               0.0, 1.0)

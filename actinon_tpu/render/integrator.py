@@ -160,6 +160,21 @@ class Integrator:
         self.l_color = np.stack([
             np.asarray(o.tex_c1 if o.tex_kind == sir.TEX_PLAIN else o.color,
                        dt) for o in lo]) if L else np.zeros((0, 3), dt)
+        # static per-light sampling/hit dispatch: fov cone kind
+        # (obj_fov, reference src/objects.c:520,619,1037) and whether the
+        # NEE intersection can use the exact differentiable sphere formula
+        # or must hit the true object geometry (obj_ray_hit(light_src),
+        # reference src/scene.c:564)
+        self.l_fov = [o.light_fov for o in lo]
+        self.l_plane_n = [None if o.light_plane_n is None
+                          else np.asarray(o.light_plane_n, dt) for o in lo]
+        self.l_cone_pos = np.stack([
+            np.asarray(o.light_cone_pos if o.light_cone_pos is not None
+                       else o.pos, dt) for o in lo]) \
+            if L else np.zeros((0, 3), dt)
+        self.l_sphere_exact = [
+            o.single_leaf and o.leaves[0].family == sir.SPHERE for o in lo]
+        self.l_oid = list(ir.lights)
 
         self.rays_traced = 0
         self.direct_cap = max(int(self.cfg.direct_samples), 1)
@@ -485,15 +500,27 @@ class Integrator:
             lr = self._mt("l_radius")[li]
             lcol = self._mt("l_color")[li]
 
-            # fov cone toward the light (reference src/objects.c:619-637)
-            diff = lpos - pos
-            dist2 = _dot(diff, diff)
-            fov_d = _norm3(diff)
-            r2 = lr * lr
-            cos_rs = jnp.where(dist2 > r2,
-                               safe_sqrt(1.0 - r2 /
-                                         jnp.where(dist2 > 0, dist2, 1.0)),
-                               -1.0)
+            if self.l_fov[li] == "plane":
+                # half-space cone (obj_plane_s_fov, reference
+                # src/objects.c:520-526): toward -normal; degenerate
+                # (cos_rs=1, zero coverage) when the surface is behind
+                nrm = jnp.asarray(self.l_plane_n[li])
+                fov_d = jnp.broadcast_to(-nrm, pos.shape)
+                cos_rs = jnp.where(_dot(lpos - pos, fov_d) > 0, 0.0, 1.0)
+            else:
+                # sphere / envelope cone toward the light (reference
+                # src/objects.c:619-637, envelope_s_fov src/objects.c:70-88)
+                cpos = lpos if self.l_sphere_exact[li] \
+                    else jnp.asarray(self.l_cone_pos[li])
+                diff = cpos - pos
+                dist2 = _dot(diff, diff)
+                fov_d = _norm3(diff)
+                r2 = lr * lr
+                cos_rs = jnp.where(
+                    dist2 > r2,
+                    safe_sqrt(1.0 - r2 /
+                              jnp.where(dist2 > 0, dist2, 1.0)),
+                    -1.0)
             cyl_hgt = 1.0 - cos_rs
             # frame: transposed(con_z(fov_d)) maps cap samples (around +z)
             # into world (reference src/scene.c:550)
@@ -521,8 +548,18 @@ class Integrator:
                 w = jnp.einsum("rsi,ri->rs", out_d, surf_d)
                 ok = (js[None, :] < ns[:, None]) & gate[:, None] & (w > 0)
 
-                # light-sphere hit (reference src/scene.c:565)
-                a = self._sphere_hit(lpos, lr, pos[:, None, :], out_d)
+                # true light-geometry hit (obj_ray_hit(light_src, ...),
+                # reference src/scene.c:564): exact differentiable sphere
+                # formula for single-sphere lights, full object traversal
+                # otherwise (plane / quadric / CSG / SDF emitters)
+                if self.l_sphere_exact[li]:
+                    a = self._sphere_hit(lpos, lr, pos[:, None, :], out_d)
+                else:
+                    flat_p = jnp.broadcast_to(pos[:, None, :],
+                                              (B, S, 3)).reshape(B * S, 3)
+                    a = self.tr.object_hit_t(
+                        self.l_oid[li], flat_p,
+                        out_d.reshape(B * S, 3)).reshape(B, S)
                 ok = ok & jnp.isfinite(a)
 
                 w = jnp.where((on_b > 0)[:, None],
@@ -643,36 +680,96 @@ class Integrator:
 
     # ------------------------------------------------------------------
 
-    def run_device(self, primary: RayQueue, n_samples: int) -> np.ndarray:
+    def _camera_rays_dev(self, pos_xy):
+        """Primary camera rays on device (lum_machine_s_func, reference
+        src/scene.c:958-996) — ships [N,2] f32 subpixel positions instead
+        of 12 prebuilt ray fields (the tunnel h2d is ~15 MB/s)."""
+        dt = self.dtype
+        cfg = self.cfg
+        ir = self.ir
+        unit = dt.type(1.0 / (cfg.image_height >> 1))
+        x = unit * (pos_xy[:, 0] - (cfg.image_width >> 1))
+        z = unit * ((cfg.image_height >> 1) - pos_xy[:, 1])
+        d = jnp.stack([x, jnp.full_like(x, cfg.camera_focal_length), z], -1)
+        d = _norm3(d)
+        d = d @ jnp.asarray(ir.cam_rot, dt).T
+        p = jnp.broadcast_to(jnp.asarray(ir.cam_pos, dt), d.shape)
+        return p, d
+
+    def run_samples(self, pos_xy: np.ndarray) -> np.ndarray:
+        """Render primary camera samples at subpixel positions [N,2]
+        (x, y).  On the device drain the queue is BUILT on device from the
+        positions; otherwise falls back to host raygen + run()."""
+        n = len(pos_xy)
+        if self.path_cap == 0 and getattr(self, "device_drain", True) \
+                and jax.default_backend() != "cpu":
+            return self.run_device(None, n, pos_xy=pos_xy)
+        from actinon_tpu.render.driver import camera_rays
+        p, d = camera_rays(self.ir, np.asarray(pos_xy, np.float64),
+                           self.dtype)
+        primary = RayQueue(
+            p, d, np.ones(n, self.dtype), np.ones((n, 3), self.dtype),
+            np.full(n, self.cfg.trace_depth, np.int32),
+            np.arange(n, dtype=np.int32))
+        return self.run(primary, n)
+
+    def run_device(self, primary: Optional[RayQueue], n_samples: int,
+                   pos_xy: Optional[np.ndarray] = None) -> np.ndarray:
         """Device-resident wavefront drain: the whole pass is ONE jitted
-        `lax.while_loop` — queue, child compaction and accumulation all
-        stay on device, so per-step host round trips (disastrous over a
-        TPU tunnel) vanish.  Requires path_samples == 0 (the splitting
-        path branch is spawned host-side; see run())."""
+        `lax.while_loop` — raygen (when pos_xy is given), queue, child
+        compaction and accumulation all stay on device, so per-step host
+        round trips (disastrous over a TPU tunnel) vanish.  Requires
+        path_samples == 0 (the splitting path branch is spawned host-side;
+        see run())."""
         assert self.path_cap == 0
         dt = self.dtype
-        N = len(primary)
+        N = n_samples
         B = self.batch
         C = 1 << int(np.ceil(np.log2(max(4 * N, 4 * B))))
 
-        # buffer physically sized C + 3B so the child write-back is always
-        # a full in-bounds 3B block; logical entries live in [0, count)
-        buf = primary.padded(C + 3 * self.batch, dt)
-        init = dict(
-            p=jnp.asarray(buf.p), d=jnp.asarray(buf.d),
-            intensity=jnp.asarray(buf.intensity),
-            tint=jnp.asarray(buf.tint),
-            depth=jnp.asarray(buf.depth),
-            sample_id=jnp.asarray(buf.sample_id))
-
         if not hasattr(self, "_drain_jit"):
             self._drain_jit = {}
-        key = (C, n_samples)
-        if key not in self._drain_jit:
-            self._drain_jit[key] = jax.jit(
-                lambda q, count: self._drain(q, count, n_samples, C))
-        acc, dropped, queries, trips = jax.device_get(
-            self._drain_jit[key](init, jnp.int32(N)))
+        if pos_xy is not None:
+            key = ("pos", C, N)
+            if key not in self._drain_jit:
+                def drain_pos(pos):
+                    p, d = self._camera_rays_dev(pos)
+                    pad = C + 3 * B - N
+                    z1 = jnp.zeros((pad,), dt)
+                    q = dict(
+                        p=jnp.concatenate([p, jnp.zeros((pad, 3), dt)]),
+                        d=jnp.concatenate(
+                            [d, jnp.tile(jnp.asarray([[0, 0, 1]], dt),
+                                         (pad, 1))]),
+                        intensity=jnp.concatenate([jnp.ones((N,), dt), z1]),
+                        tint=jnp.concatenate([jnp.ones((N, 3), dt),
+                                              jnp.zeros((pad, 3), dt)]),
+                        depth=jnp.concatenate(
+                            [jnp.full((N,), self.cfg.trace_depth, jnp.int32),
+                             jnp.zeros((pad,), jnp.int32)]),
+                        sample_id=jnp.concatenate(
+                            [jnp.arange(N, dtype=jnp.int32),
+                             jnp.zeros((pad,), jnp.int32)]))
+                    return self._drain(q, jnp.int32(N), N, C)
+                self._drain_jit[key] = jax.jit(drain_pos)
+            out = self._drain_jit[key](jnp.asarray(pos_xy, dt))
+        else:
+            # buffer physically sized C + 3B so the child write-back is
+            # always a full in-bounds 3B block; logical entries live in
+            # [0, count)
+            buf = primary.padded(C + 3 * self.batch, dt)
+            init = dict(
+                p=jnp.asarray(buf.p), d=jnp.asarray(buf.d),
+                intensity=jnp.asarray(buf.intensity),
+                tint=jnp.asarray(buf.tint),
+                depth=jnp.asarray(buf.depth),
+                sample_id=jnp.asarray(buf.sample_id))
+            key = (C, n_samples)
+            if key not in self._drain_jit:
+                self._drain_jit[key] = jax.jit(
+                    lambda q, count: self._drain(q, count, n_samples, C))
+            out = self._drain_jit[key](init, jnp.int32(N))
+        acc, dropped, queries, trips = jax.device_get(out)
         per_ray = 2 + self.n_lights * self.direct_cap
         self.rays_traced += int(queries) * per_ray
         self.last_trips = int(trips)

@@ -166,11 +166,19 @@ class RecursiveOracle:
         lr = float(I.l_radius[li_i])
         lcol = np.asarray(I.l_color[li_i], np.float64)
 
-        diff = lpos - pos
-        dist2 = float(diff @ diff)
-        fov_d = diff / np.sqrt(dist2)
-        r2 = lr * lr
-        cos_rs = np.sqrt(max(1.0 - r2 / dist2, 0.0)) if dist2 > r2 else -1.0
+        if I.l_fov[li_i] == "plane":
+            # obj_plane_s_fov (reference src/objects.c:520-526)
+            fov_d = -np.asarray(I.l_plane_n[li_i], np.float64)
+            cos_rs = 0.0 if float((lpos - pos) @ fov_d) > 0 else 1.0
+        else:
+            cpos = lpos if I.l_sphere_exact[li_i] \
+                else np.asarray(I.l_cone_pos[li_i], np.float64)
+            diff = cpos - pos
+            dist2 = float(diff @ diff)
+            fov_d = diff / np.sqrt(dist2)
+            r2 = lr * lr
+            cos_rs = np.sqrt(max(1.0 - r2 / dist2, 0.0)) \
+                if dist2 > r2 else -1.0
         cyl = 1.0 - cos_rs
         frame = np.asarray(self.integ._conz_t(
             np.asarray([fov_d], self.dt))[0], np.float64)
@@ -191,11 +199,18 @@ class RecursiveOracle:
             w = float(out_d @ surf_d)
             if w <= 0:
                 continue
-            from actinon_tpu.render.tracer import _sphere_first_hit
-            a = float(_sphere_first_hit(
-                np.asarray(lpos, self.dt), self.dt.type(lr),
-                np.asarray([pos], self.dt), np.asarray([out_d], self.dt),
-                self.tr.eps)[0])
+            # true light-geometry hit (obj_ray_hit(light_src, ...),
+            # reference src/scene.c:564)
+            if I.l_sphere_exact[li_i]:
+                from actinon_tpu.render.tracer import _sphere_first_hit
+                a = float(_sphere_first_hit(
+                    np.asarray(lpos, self.dt), self.dt.type(lr),
+                    np.asarray([pos], self.dt),
+                    np.asarray([out_d], self.dt), self.tr.eps)[0])
+            else:
+                a = float(self.tr.object_hit_t(
+                    I.l_oid[li_i], np.asarray([pos], self.dt),
+                    np.asarray([out_d], self.dt))[0])
             if not np.isfinite(a):
                 continue
             if on_b > 0:

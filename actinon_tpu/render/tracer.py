@@ -1017,6 +1017,30 @@ class Tracer:
             blocked = blocked | (a <= limit)
         return blocked
 
+    def object_hit_t(self, oid: int, p, d):
+        """First-hit distance of ONE object (eps-backed, INF on miss) —
+        the true-geometry light intersection for NEE
+        (obj_ray_hit(light_src, ...), reference src/scene.c:564).  `oid`
+        is a static python int; dispatches on the object's form."""
+        dt = self.dtype
+        p = jnp.asarray(p, dt)
+        d = jnp.asarray(d, dt)
+        tabs = self._assemble()
+        rows = np.flatnonzero((self.tab.oid == oid) & self.tab.single)
+        if len(rows):
+            rows = rows.astype(np.int32)
+            a = self._chunk_candidates(tabs, rows, p, d)
+            return a[:, 0]
+        for comp in self.composites:
+            if comp.oid == oid:
+                a, _, _ = self._hit_composite(comp, tabs, p, d)
+                return a
+        for lf, o, env_c, env_r, _light in self.sdf_singles:
+            if o == oid:
+                a, _ = self._hit_sdf_leaf(lf, env_c, env_r, p, d)
+                return a
+        raise ValueError(f"object {oid} not found")
+
     def shadow_nearest_t(self, p, d):
         """Nearest matter hit distance (normals irrelevant, roughness
         skipped).  Kept for direct use/tests; the integrator uses

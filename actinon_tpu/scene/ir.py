@@ -98,6 +98,15 @@ class ObjIR:
     # light sampling geometry (sphere lights: exact fov cone,
     # reference src/objects.c:619-637)
     light_radius: float = 0.0
+    # fov cone kind: "sphere" (exact sphere / envelope cone) or "plane"
+    # (obj_plane_s_fov, reference src/objects.c:520-526)
+    light_fov: str = "sphere"
+    light_plane_n: Optional[np.ndarray] = None   # plane light normal (rax.z)
+    # cone center: the object pos for sphere lights, the ENVELOPE center
+    # for enveloped non-sphere lights (envelope_s_fov, reference
+    # src/objects.c:70-88); radiance falloff always uses prp.pos
+    # (reference src/scene.c:573)
+    light_cone_pos: Optional[np.ndarray] = None
 
     @property
     def single_leaf(self) -> bool:
@@ -279,16 +288,25 @@ def compile_object(obj: ho.Obj, is_light: bool) -> ObjIR:
 
     if is_light:
         # light-source sampling cone (obj_fov): exact for spheres
-        # (reference src/objects.c:619-637), envelope cone otherwise
-        # (reference src/objects.c:70-88).
+        # (reference src/objects.c:619-637), half-space cone for planes
+        # (reference src/objects.c:520-526), envelope cone otherwise
+        # (reference src/objects.c:70-88, used by pair fov at
+        # src/objects.c:1037).  The reference ERRORS for any other light
+        # (obj_fov, src/objects.c:254-258) — so do we.
+        o.light_cone_pos = o.pos.copy()
         if isinstance(obj, ho.Sphere):
             o.light_radius = obj.radius
+        elif isinstance(obj, ho.Plane):
+            o.light_fov = "plane"
+            o.light_plane_n = np.asarray(p.rax[2], float).copy()
         elif p.envelope is not None:
             o.light_radius = p.envelope.radius
-            o.pos = p.envelope.pos.copy()
+            o.light_cone_pos = p.envelope.pos.copy()
         else:
             raise NotImplementedError(
-                f"light source {type(obj).__name__} without envelope")
+                f"light source {type(obj).__name__} without envelope "
+                f"(the reference obj_fov errors here too, "
+                f"src/objects.c:254-258)")
     return o
 
 

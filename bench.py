@@ -12,6 +12,9 @@ framework's own CPU path on this host (the C reference cannot be built
 here -- its foundation library `beth` is not vendored, SURVEY.md
 "external dependency caveat"), measured once and pinned below.
 
+Run with --cpu-pin to re-measure the CPU baseline on this host
+(JAX_PLATFORMS=cpu python bench.py --cpu-pin).
+
 Prints ONE json line.
 """
 
@@ -23,18 +26,22 @@ import time
 import numpy as np
 
 # Pinned CPU-host throughput of this same benchmark (measured with
-# JAX_PLATFORMS=cpu on this machine, f32, device-resident drain,
-# 2026-08-17): queries/s.
-CPU_BASELINE_QPS = 4.56e6
+# JAX_PLATFORMS=cpu python bench.py --cpu-pin on this machine, f32,
+# device-resident drain, 2026-08-20): queries/s, per timed pass only
+# (warmup excluded from the query count).
+CPU_BASELINE_QPS = 2.28e6
 
 CONFIG = dict(width=200, height=150, direct=10, path=0, depth=25)
 
 
 def main():
-    t_setup = time.time()
+    cpu_pin = "--cpu-pin" in sys.argv
+    if cpu_pin:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
     from actinon_tpu.acn.interp import run_file
-    from actinon_tpu.render.driver import camera_rays
-    from actinon_tpu.render.integrator import Integrator, RayQueue
+    from actinon_tpu.render.integrator import Integrator
     from actinon_tpu.render.tracer import Tracer
     from actinon_tpu.scene import ir as sir
 
@@ -54,20 +61,20 @@ def main():
     tracer = Tracer(ir, dtype=np.float32)
     integ = Integrator(tracer, batch=1 << 15)
 
-    def one_pass():
-        ys, xs = np.mgrid[0:cfg.image_height, 0:cfg.image_width]
-        pos = np.stack([xs.reshape(-1) + 0.5, ys.reshape(-1) + 0.5],
-                       -1).astype(np.float64)
-        p, d = camera_rays(ir, pos, np.float32)
-        primary = RayQueue(p, d, np.ones(len(p), np.float32),
-                           np.ones((len(p), 3), np.float32),
-                           np.full(len(p), cfg.trace_depth, np.int32),
-                           np.arange(len(p), dtype=np.int32))
-        return integ.run(primary, len(p))
+    ys, xs = np.mgrid[0:cfg.image_height, 0:cfg.image_width]
+    base = np.stack([xs.reshape(-1) + 0.5, ys.reshape(-1) + 0.5],
+                    -1).astype(np.float64)
 
-    one_pass()                      # warmup/compile
+    def one_pass(jit_eps):
+        # distinct subpixel positions per pass: the device tunnel memoizes
+        # executions on identical inputs, so a repeated identical pass
+        # would not measure real work
+        return integ.run_samples(base + jit_eps)
+
+    one_pass(0.0)                   # warmup/compile
+    integ.rays_traced = 0
     t0 = time.time()
-    one_pass()
+    one_pass(1e-4)
     dt = time.time() - t0
     qps = integ.rays_traced / dt
 

@@ -113,6 +113,65 @@ def test_emitter_direct_view():
     np.testing.assert_allclose(got, expect, rtol=1e-3)
 
 
+@pytest.mark.parametrize("kind", ["ellipsoid", "csg"])
+def test_non_sphere_emitter(kind):
+    """NEE intersects the TRUE light geometry (obj_ray_hit(light_src),
+    reference src/scene.c:564) — an ellipsoid / CSG emitter, not its
+    envelope sphere: wavefront == recursion, and the result differs from
+    an envelope-sphere light of the same radiance."""
+    from actinon_tpu.scene.objects import Envelope, Squaroid
+    sc = make_scene(glass=False)
+    sc.light.elements.clear()
+
+    if kind == "ellipsoid":
+        lamp = Squaroid.ellipsoid(1.2, 0.4, 0.4)
+    else:
+        lamp = PairInside(Sphere(0.9), Neg(Sphere(0.55)))
+    lamp.prp.radiance = 25.0
+    lamp.set_envelope(Envelope((0, 0, 0), 1.3))
+    lamp.move(v3(2, -1, 5))
+    sc.push(lamp)
+
+    got, want = run_both(sc, n_max=10)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-9)
+    assert np.isfinite(got).all() and (got >= 0).all()
+
+    # interior-vs-true-geometry sanity: replacing the true hit with the
+    # envelope sphere must change the direct lighting (the round-1
+    # deviation this test guards against)
+    ir = sir.compile_scene(sc)
+    tr = Tracer(ir, dtype=np.float64)
+    integ = Integrator(tr, batch=64)
+    # pretend the light is an exact sphere of its envelope
+    integ.l_sphere_exact[0] = True
+    cfg = sc.cfg
+    rng = np.random.default_rng(3)
+    pos = np.stack([rng.uniform(0, cfg.image_width, 10),
+                    rng.uniform(0, cfg.image_height, 10)], -1)
+    p, d = camera_rays(ir, pos, np.float64)
+    primary = RayQueue(p, d, np.ones(len(p)), np.ones((len(p), 3)),
+                       np.full(len(p), cfg.trace_depth, np.int32),
+                       np.arange(len(p), dtype=np.int32))
+    sphere_approx = integ.run(primary, len(p))
+    assert not np.allclose(sphere_approx, got, rtol=1e-3)
+
+
+def test_plane_emitter():
+    """A half-space emitter uses the plane fov cone (obj_plane_s_fov,
+    reference src/objects.c:520-526) and true plane intersection."""
+    sc = make_scene(glass=False)
+    sc.light.elements.clear()
+    lamp = Plane()          # z<=0 half-space, normal +z
+    lamp.prp.radiance = 4.0
+    # ceiling half-space z>=12 glowing downward (normal flipped to -z)
+    lamp.rotate(np.asarray(
+        [[1, 0, 0], [0, -1, 0], [0, 0, -1]], np.float64))
+    lamp.move(v3(0, 0, 12.0))
+    sc.push(lamp)
+    got, want = run_both(sc, n_max=8)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-9)
+
+
 def test_csg_scene_end_to_end():
     """Glass shell (CSG) with refraction + NEE: wavefront == recursion."""
     sc = make_scene(glass=False)
