@@ -484,6 +484,17 @@ class Integrator:
 
     # ------------------------------------------------------------------
 
+    def _nee_kernel_fn(self):
+        """The fused Pallas NEE kernel when the scene supports it (cached;
+        None = XLA path)."""
+        if not hasattr(self, "_nee_kernel"):
+            self._nee_kernel = None
+            if self.tr._pallas_ok() and not self.ovr \
+                    and self.seed_mode == "position":
+                from actinon_tpu.render import pallas_kernels as pk
+                self._nee_kernel = pk.build_nee_kernel(self)
+        return self._nee_kernel
+
     def _nee(self, pos, surf_d, di, gate, theta_i, on_a, on_b, ray_prj, rv):
         """Per-light cone-restricted direct light sampling with the
         2*cap_height/n estimator (reference src/scene.c:542-578)."""
@@ -492,6 +503,12 @@ class Integrator:
         ns = jnp.floor(jnp.asarray(self.cfg.direct_samples, dt) * di)
         ns = jnp.maximum(ns.astype(jnp.int32), 1)
         ns = jnp.minimum(ns, self.direct_cap)
+
+        kfn = self._nee_kernel_fn()
+        if kfn is not None:
+            return kfn(pos, surf_d, jnp.where(gate, di, 0.0),
+                       jnp.cos(theta_i), on_a, on_b, ray_prj, rv, ns)
+
         lum = jnp.zeros((B, 3), dt)
 
         for li in range(self.n_lights):

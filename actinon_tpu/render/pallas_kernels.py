@@ -8,14 +8,19 @@ tiles: scene geometry is baked in as immediate constants (the kernel is
 generated per scene, exactly like a jit specialization), so the only HBM
 traffic is the ray state itself (~50 B/ray).
 
-Replaces the reference's per-object hit loop (compound_s_ray_hit,
-reference src/compound.c:215-244) for the NEE shadow query
-(reference src/scene.c:571) and the transition trace — same math as
-tracer.Tracer, verified against it by tests/test_pallas.py.
+Kernels:
+  * build_shadow_kernel — any-hit query over the matter scene
+    (compound_s_ray_hit(matter) > a, reference src/scene.c:571)
+  * build_nee_kernel — the WHOLE per-light next-event-estimation loop
+    (reference src/scene.c:542-578): counter-RNG cap sampling, the
+    cone frame, true light-geometry intersection, Oren-Nayar weighting,
+    the in-loop shadow test and the 2*cap/n estimator sum — per sample,
+    entirely in VMEM (the XLA path materializes ~6 [B,S,3] HBM arrays)
 
-Kernels are used only on the non-differentiable fast path (no geometry
-overrides, no AD); tracer.py's XLA path remains the reference
-implementation and the CPU/diff fallback.
+Same math as tracer.Tracer / integrator._nee, verified against them by
+tests/test_pallas.py.  Kernels are used only on the non-differentiable
+fast path (no traced overrides, no AD); the XLA path remains the
+reference implementation and the CPU/diff fallback.
 """
 
 from __future__ import annotations
@@ -346,3 +351,291 @@ def build_shadow_kernel(tracer, interpret=False):
         return out.reshape(-1)[:N] > 0
 
     return fn, rest
+
+
+# ---------------------------------------------------------------------------
+# fused NEE kernel (reference src/scene.c:542-578)
+
+
+_M1 = np.uint32(0x85EBCA6B)
+_M2 = np.uint32(0xC2B2AE35)
+_GOLDEN = np.uint32(0x9E3779B9)
+
+
+def _fmix32_np(h):
+    """murmur3 finalizer on a PYTHON-constant uint32 (rng._fmix32)."""
+    h = np.uint32(h)
+    with np.errstate(over="ignore"):
+        h = h ^ (h >> np.uint32(16))
+        h = h * _M1
+        h = h ^ (h >> np.uint32(13))
+        h = h * _M2
+        h = h ^ (h >> np.uint32(16))
+    return h
+
+
+def _fmix32_t(h):
+    """murmur3 finalizer on a uint32 tile (rng._fmix32)."""
+    h = h ^ (h >> np.uint32(16))
+    h = h * _M1
+    h = h ^ (h >> np.uint32(13))
+    h = h * _M2
+    h = h ^ (h >> np.uint32(16))
+    return h
+
+
+def _uniform_t(rv, counter):
+    """rng.uniform with a python-constant counter: the counter half of the
+    mix collapses to one immediate constant."""
+    with np.errstate(over="ignore"):
+        c = _fmix32_np(np.uint32(counter) * _GOLDEN + np.uint32(1))
+    bits = _fmix32_t(rv ^ c)
+    return (bits >> np.uint32(8)).astype(jnp.float32) * np.float32(
+        1.0 / (1 << 24))
+
+
+def _norm3_t(x, y, z):
+    ln2 = x * x + y * y + z * z
+    pos = ln2 > 0
+    inv = jax.lax.rsqrt(jnp.where(pos, ln2, 1.0))
+    inv = jnp.where(pos, inv, 1.0)
+    return x * inv, y * inv, z * inv
+
+
+def _light_coverage(integ):
+    """Per-light python-constant sampling/hit descriptors, or None when a
+    light cannot run in-kernel (SDF emitters)."""
+    tracer = integ.tr
+    tab = tracer.tab
+    out = []
+    for li in range(integ.n_lights):
+        oid = integ.l_oid[li]
+        rows = np.flatnonzero((tab.oid == oid) & tab.single)
+        hit = None
+        if len(rows):
+            hit = ("leaf", _leaf_const(tab, int(rows[0])))
+        else:
+            for comp in tracer.composites:
+                if comp.oid != oid:
+                    continue
+                n_analytic = sum(1 for r in comp.rows if r >= 0)
+                if any(lf is not None for lf in comp.sdf_leaves) \
+                        or 2 * n_analytic > MAX_COMP_COLS:
+                    return None
+                hit = ("comp", dict(
+                    tree=comp.tree,
+                    leaves=[_leaf_const(tab, r) for r in comp.rows],
+                    env_c=[float(x) for x in comp.env_c]
+                    if comp.env_c is not None else None,
+                    env_r=float(comp.env_r), oid=comp.oid))
+        if hit is None:
+            return None          # SDF emitter: XLA fallback
+        out.append(dict(
+            fov=integ.l_fov[li],
+            plane_n=None if integ.l_plane_n[li] is None
+            else [float(x) for x in integ.l_plane_n[li]],
+            cone_pos=[float(x) for x in integ.l_cone_pos[li]],
+            pos=[float(x) for x in integ.l_pos[li]],
+            radius=float(integ.l_radius[li]),
+            rad=float(integ.l_rad[li]),
+            color=[float(x) for x in integ.l_color[li]],
+            hit=hit))
+    return out
+
+
+def build_nee_kernel(integ, interpret=False):
+    """fn(pos [B,3], surf_d [B,3], di [B] (pre-gated), cos_ti [B],
+    on_a [B], on_b [B], ray_prj [B,3], rv [B] uint32, ns [B] int32)
+    -> lum [B,3], or None when the scene cannot run in-kernel.
+
+    One straight-line pass per [ROWS,128] tile: per light, per sample —
+    counter-RNG cap sample in the cone frame, true light-geometry hit,
+    Oren-Nayar reweighting (trig-free: sin/tan of the acos'd angles are
+    rewritten in terms of the cosines), matter shadow any-hit, estimator
+    accumulation (reference src/scene.c:542-578)."""
+    pl, pltpu = _pl()
+    tracer = integ.tr
+    singles, comps, rest = kernel_coverage(tracer, matter_only=True)
+    if rest or any(not light for *_, light in tracer.sdf_singles):
+        return None              # matter outside kernel coverage
+    lights = _light_coverage(integ)
+    if lights is None or not lights:
+        return None
+    eps = float(tracer.eps)
+    S = int(integ.direct_cap)
+    f3_mag = np.float32(1e30)
+
+    def light_hit(px, py, pz, dx, dy, dz, hit):
+        kind, desc = hit
+        if kind == "leaf":
+            a = _leaf_first_hit(px, py, pz, dx, dy, dz, desc, eps)
+            if desc["env_r"] > 0:
+                g = _env_gate(px, py, pz, dx, dy, dz, desc["env_c"],
+                              desc["env_r"])
+                a = jnp.where(g, a, INF)
+            return a
+        t_raw, _ = _comp_boundary(px, py, pz, dx, dy, dz, desc, eps)
+        return jnp.where(jnp.isfinite(t_raw), t_raw - eps, INF)
+
+    def shadow_blocked(px, py, pz, dx, dy, dz, lim):
+        blocked = None
+        for leaf in singles:
+            a = _leaf_first_hit(px, py, pz, dx, dy, dz, leaf, eps)
+            if leaf["env_r"] > 0:
+                g = _env_gate(px, py, pz, dx, dy, dz, leaf["env_c"],
+                              leaf["env_r"])
+                a = jnp.where(g, a, INF)
+            b = a <= lim
+            blocked = b if blocked is None else blocked | b
+        for comp in comps:
+            t_raw, _ = _comp_boundary(px, py, pz, dx, dy, dz, comp, eps)
+            b = jnp.isfinite(t_raw) & (t_raw - eps <= lim)
+            blocked = b if blocked is None else blocked | b
+        if blocked is None:
+            blocked = px > INF
+        return blocked
+
+    def kernel(px_r, py_r, pz_r, sx_r, sy_r, sz_r, di_r, ct_r, oa_r, ob_r,
+               qx_r, qy_r, qz_r, rv_r, ns_r, or_r, og_r, ob_out_r):
+        px, py, pz = px_r[:], py_r[:], pz_r[:]
+        sx, sy, sz = sx_r[:], sy_r[:], sz_r[:]
+        di, cos_ti = di_r[:], ct_r[:]
+        on_a, on_b = oa_r[:], ob_r[:]
+        qx, qy, qz = qx_r[:], qy_r[:], qz_r[:]
+        rv = rv_r[:]
+        ns_f = ns_r[:]
+        has_ob = on_b > 0
+        # sin(theta_i) etc. via cosines (theta_i in [0, pi])
+        lum = [jnp.zeros_like(px) for _ in range(3)]
+
+        for li, lt in enumerate(lights):
+            # --- fov cone (obj_fov): sphere/envelope cone
+            # (reference src/objects.c:619-637, 70-88) or plane half-space
+            # (reference src/objects.c:520-526)
+            if lt["fov"] == "plane":
+                n = lt["plane_n"]
+                fx = jnp.full_like(px, -n[0])
+                fy = jnp.full_like(px, -n[1])
+                fz = jnp.full_like(px, -n[2])
+                dside = ((lt["pos"][0] - px) * (-n[0])
+                         + (lt["pos"][1] - py) * (-n[1])
+                         + (lt["pos"][2] - pz) * (-n[2]))
+                cos_rs = jnp.where(dside > 0, 0.0, 1.0)
+            else:
+                cp = lt["cone_pos"]
+                ex, ey, ez = cp[0] - px, cp[1] - py, cp[2] - pz
+                dist2 = ex * ex + ey * ey + ez * ez
+                fx, fy, fz = _norm3_t(ex, ey, ez)
+                r2 = lt["radius"] * lt["radius"]
+                q = 1.0 - r2 / jnp.where(dist2 > 0, dist2, 1.0)
+                cos_rs = jnp.where(
+                    dist2 > r2,
+                    jnp.sqrt(jnp.where(q > 0, q, 0.0)), -1.0)
+            cyl = 1.0 - cos_rs
+
+            # --- transposed(con_z(fov_d)) frame (reference
+            # src/vectors.h:165-175, 315-322): columns mx, my, mz=fov_d
+            xx, yy, zz = fx * fx, fy * fy, fz * fz
+            exm = ((xx <= yy) & (xx <= zz)).astype(px.dtype)
+            eym = jnp.where((yy <= xx) & (yy <= zz), 1.0 - exm, 0.0)
+            ezm = jnp.maximum(1.0 - exm - eym, 0.0)
+            cdot = exm * fx + eym * fy + ezm * fz
+            mxx, mxy, mxz = _norm3_t(exm - fx * cdot, eym - fy * cdot,
+                                     ezm - fz * cdot)
+            myx = fy * mxz - fz * mxy
+            myy = fz * mxx - fx * mxz
+            myz = fx * mxy - fy * mxx
+
+            acc = jnp.zeros_like(px)
+            lp = lt["pos"]
+            for j in range(S):
+                ctr = 4 * (li * S + j)
+                u1 = _uniform_t(rv, ctr)
+                u2 = _uniform_t(rv, ctr + 1)
+                phi = np.float32(2.0 * math.pi) * u1
+                z = 1.0 - u2 * cyl
+                sc2 = 1.0 - z * z
+                sc = jnp.sqrt(jnp.where(sc2 > 0, sc2, 0.0))
+                lx = jnp.sin(phi) * sc
+                ly = jnp.cos(phi) * sc
+                dx = mxx * lx + myx * ly + fx * z
+                dy = mxy * lx + myy * ly + fy * z
+                dz = mxz * lx + myz * ly + fz * z
+                w = dx * sx + dy * sy + dz * sz
+
+                a = light_hit(px, py, pz, dx, dy, dz, lt["hit"])
+                fin = jnp.isfinite(a)
+                ok = (np.float32(j) < ns_f) & (w > 0) & fin
+
+                # Oren-Nayar (reference src/scene.c:394-416), trig-free:
+                # theta_r = acos(w), sin(max(ti,tr)) = sqrt(1-min(cti,w)^2),
+                # tan(min(ti,tr)) = sqrt(1-c^2)/c with c = max(cti,w)
+                # (cos is decreasing on [0,pi]; clamp matches pi/2-1e-6)
+                wc = jnp.clip(w, -1.0, 1.0)
+                prx, pry, prz = _norm3_t(dx - sx * w, dy - sy * w,
+                                         dz - sz * w)
+                cos_phi = -(prx * qx + pry * qy + prz * qz)
+                cmin = jnp.minimum(cos_ti, wc)
+                sin_max = jnp.sqrt(jnp.maximum(1.0 - cmin * cmin, 0.0))
+                cmax = jnp.maximum(jnp.maximum(cos_ti, wc),
+                                   np.float32(1e-6))
+                tan_min = jnp.sqrt(
+                    jnp.maximum(1.0 - cmax * cmax, 0.0)) / cmax
+                w_on = w * (on_a + on_b * jnp.maximum(cos_phi, 0.0)
+                            * sin_max * tan_min)
+                w = jnp.where(has_ob, w_on, w)
+
+                lim = jnp.where(fin, a, 0.0)
+                blocked = shadow_blocked(px, py, pz, dx, dy, dz, lim)
+                ok = ok & ~blocked
+
+                a_safe = jnp.where(fin, a, 0.0)
+                hx = px + dx * a_safe - lp[0]
+                hy = py + dy * a_safe - lp[1]
+                hz = pz + dz * a_safe - lp[2]
+                dsq = hx * hx + hy * hy + hz * hz
+                loc = jnp.where(dsq > 0,
+                                lt["rad"] / jnp.where(dsq > 0, dsq, 1.0),
+                                f3_mag)
+                acc = acc + jnp.where(ok, loc * w * di, 0.0)
+            fac = 2.0 * cyl / ns_f
+            for ch in range(3):
+                lum[ch] = lum[ch] + acc * (np.float32(lt["color"][ch])
+                                           * fac)
+
+        or_r[:] = lum[0]
+        og_r[:] = lum[1]
+        ob_out_r[:] = lum[2]
+
+    tile = ROWS * 128
+
+    def fn(pos, surf_d, di, cos_ti, on_a, on_b, ray_prj, rv, ns):
+        B = pos.shape[0]
+        Np = -(-B // tile) * tile
+        pad = Np - B
+        f32 = jnp.float32
+
+        def prep(v, dtp=f32):
+            return jnp.pad(v.astype(dtp), (0, pad)).reshape(-1, 128)
+
+        args = [prep(pos[:, 0]), prep(pos[:, 1]), prep(pos[:, 2]),
+                prep(surf_d[:, 0]), prep(surf_d[:, 1]), prep(surf_d[:, 2]),
+                prep(di), prep(cos_ti), prep(on_a), prep(on_b),
+                prep(ray_prj[:, 0]), prep(ray_prj[:, 1]),
+                prep(ray_prj[:, 2]),
+                prep(rv, jnp.uint32),
+                prep(ns.astype(f32))]
+        nt = Np // 128
+        spec = pl.BlockSpec((ROWS, 128), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            kernel,
+            grid=(nt // ROWS,),
+            in_specs=[spec] * 15,
+            out_specs=[spec] * 3,
+            out_shape=[jax.ShapeDtypeStruct((nt, 128), f32)] * 3,
+            interpret=interpret,
+        )(*args)
+        return jnp.stack([o.reshape(-1)[:B] for o in out], axis=-1)
+
+    return fn

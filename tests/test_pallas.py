@@ -64,6 +64,55 @@ def test_shadow_kernel_matches_xla(scene):
     assert agree >= 0.998, f"{scene}: agreement {agree}"
 
 
+@pytest.mark.parametrize("scene", ["wine_glass.acn", "diamond.acn"])
+def test_nee_kernel_matches_xla(scene):
+    """The fused NEE kernel reproduces integrator._nee (both f32)."""
+    from actinon_tpu.render.integrator import Integrator
+
+    ir = _load(scene)
+    tr = Tracer(ir, dtype=np.float32)
+    integ = Integrator(tr, batch=256)
+    kfn = pk.build_nee_kernel(integ, interpret=True)
+    assert kfn is not None
+
+    B = 256
+    rng = np.random.default_rng(7)
+    pos = rng.uniform(-6, 6, (B, 3)).astype(np.float32)
+    sd = rng.normal(0, 1, (B, 3)).astype(np.float32)
+    sd /= np.linalg.norm(sd, axis=-1, keepdims=True)
+    di = rng.uniform(0, 1.2, B).astype(np.float32)
+    gate = rng.uniform(0, 1, B) > 0.3
+    theta_i = rng.uniform(0, np.pi * 0.999, B).astype(np.float32)
+    sigma = rng.uniform(0, 0.4, B).astype(np.float32)
+    sig2 = sigma * sigma
+    on_a = np.where(sigma > 0, 1.0 - 0.5 * sig2 / (sig2 + 0.33),
+                    1.0).astype(np.float32)
+    on_b = np.where(sigma > 0, 0.45 * sig2 / (sig2 + 0.09),
+                    0.0).astype(np.float32)
+    prj = rng.normal(0, 1, (B, 3)).astype(np.float32)
+    prj /= np.linalg.norm(prj, axis=-1, keepdims=True)
+    rv = rng.integers(0, 2 ** 32, B, dtype=np.uint32)
+    ns = np.minimum(np.maximum(
+        (integ.direct_cap * di).astype(np.int32), 1), integ.direct_cap)
+
+    got = np.asarray(kfn(
+        jnp.asarray(pos), jnp.asarray(sd),
+        jnp.asarray(np.where(gate, di, 0.0).astype(np.float32)),
+        jnp.asarray(np.cos(theta_i)), jnp.asarray(on_a), jnp.asarray(on_b),
+        jnp.asarray(prj), jnp.asarray(rv), jnp.asarray(ns)))
+    want = np.asarray(integ._nee(
+        jnp.asarray(pos), jnp.asarray(sd), jnp.asarray(di),
+        jnp.asarray(gate), jnp.asarray(theta_i), jnp.asarray(on_a),
+        jnp.asarray(on_b), jnp.asarray(prj), jnp.asarray(rv)))
+    want = np.where(gate[:, None], want, 0.0)
+
+    # knife-edge shadow/fov lanes may flip under fused fp order: demand
+    # near-exact agreement on the overwhelming majority
+    rel = np.abs(got - want) / (np.abs(want) + 1e-4)
+    frac = (rel.max(axis=1) < 1e-2).mean()
+    assert frac >= 0.99, f"{scene}: only {frac} of lanes agree"
+
+
 def test_coverage_split():
     ir = _load("wine_glass.acn")
     tr = Tracer(ir, dtype=np.float32)
