@@ -390,8 +390,10 @@ def _uniform_t(rv, counter):
     with np.errstate(over="ignore"):
         c = _fmix32_np(np.uint32(counter) * _GOLDEN + np.uint32(1))
     bits = _fmix32_t(rv ^ c)
-    return (bits >> np.uint32(8)).astype(jnp.float32) * np.float32(
-        1.0 / (1 << 24))
+    # Mosaic has no uint32->f32 cast; >>8 leaves 24 bits, so the value is
+    # exactly representable after a sign-safe route through int32
+    return (bits >> np.uint32(8)).astype(jnp.int32).astype(
+        jnp.float32) * np.float32(1.0 / (1 << 24))
 
 
 def _norm3_t(x, y, z):
