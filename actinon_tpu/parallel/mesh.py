@@ -1,16 +1,27 @@
-"""Device-mesh sharding of the wavefront.
+"""Device-mesh sharding of the wavefront render.
 
 Parallelism model (SURVEY.md section 2.12): the reference's only
 parallel axis is pixel-samples over a pthread pool
 (reference src/scene.c:906-1028) plus frame-sharding over a shared
 filesystem for animations.  The TPU-native equivalent is **data
-parallelism over the ray batch**: a 1-D mesh axis `rays`, every ray-state
-array sharded on axis 0, the scene tables (closed-over constants)
-replicated by SPMD.  XLA partitions every tracer expression along the
-batch dimension; there are no cross-ray dependencies inside a step, so no
-collectives appear in the step itself — reduction to the image
-accumulator happens host-side per batch (device-side psum binning is the
-next optimization).
+parallelism over the ray/sample batch** on a 1-D mesh axis `rays`:
+
+  * the production device-resident drain (integrator._drain) runs as the
+    per-device body of a `shard_map` — each device owns a contiguous
+    block of camera samples, builds its primary rays on device, and
+    drains its OWN local queue (children stay on the parent's device, so
+    there is no cross-device traffic in the hot loop at all; the one
+    collective is the `pmax` loop condition keeping the SPMD trip counts
+    agreed),
+  * the per-sample accumulator is sharded the same way (sample ids are
+    local to the shard), so the image assembles by construction —
+    no psum needed, matching the reference's disjoint-slot accumulation
+    (src/scene.c:1017-1028 workers write disjoint lum slots),
+  * scene tables are closed-over constants, replicated by SPMD.
+
+Scaling is therefore bounded by *load imbalance* between sample blocks
+(some pixels spawn deeper specular trees), reported by
+`ShardedIntegrator.last_balance`: sum(per-shard trips)/(n*max trips).
 
 Frame-level sharding for animations (the reference's file-claiming
 protocol, src_acn/diamond_video.acn:202-227) remains available through
@@ -37,7 +48,12 @@ def make_mesh(n_devices: Optional[int] = None) -> Mesh:
 
 
 class ShardedIntegrator(Integrator):
-    """Integrator whose jitted steps shard the ray batch over a mesh."""
+    """Integrator whose production drain is sharded over a `rays` mesh.
+
+    run_samples() executes the whole pass as ONE jitted shard_map: per
+    device raygen -> local wavefront drain -> local accumulation.  The
+    host-drain fallback (path tracing) shards the per-batch step via
+    jit in_shardings instead."""
 
     def __init__(self, tracer, mesh: Mesh, batch: int = 1 << 16):
         self.mesh = mesh
@@ -46,7 +62,6 @@ class ShardedIntegrator(Integrator):
         batch = max(batch, n * 64)
         super().__init__(tracer, batch=batch)
         row = NamedSharding(mesh, P("rays"))
-        rep = NamedSharding(mesh, P())
 
         def in_shardings():
             return {k: row for k in ("p", "d", "intensity", "tint",
@@ -59,9 +74,102 @@ class ShardedIntegrator(Integrator):
             lambda q: self._step(q, path_ray=True),
             in_shardings=(in_shardings(),))
         self._n_dev = n
+        self._sdrain_jit = {}
+        self.last_balance = None
 
-    # Keep bucketed batch sizes divisible by the device count: pad sizes
-    # are powers of two >= 64, and n is a power of two for TPU meshes, so
-    # the base bucketing already suffices when n <= 64; enforce anyway.
-    def run(self, primary, n_samples, progress=None):
-        return super().run(primary, n_samples, progress=progress)
+    # ------------------------------------------------------------------
+
+    def run_samples(self, pos_xy: np.ndarray) -> np.ndarray:
+        if self.path_cap != 0:
+            # splitting path branch spawns host-side; the sharded _step
+            # jits above keep that path mesh-parallel
+            return super().run_samples(pos_xy)
+        return self._run_sharded(np.asarray(pos_xy))
+
+    def run_device(self, primary, n_samples, pos_xy=None):
+        if pos_xy is not None:
+            return self._run_sharded(np.asarray(pos_xy))
+        # arbitrary primary queues (not camera samples): host drain with
+        # sharded steps
+        saved = getattr(self, "device_drain", True)
+        self.device_drain = False
+        try:
+            from actinon_tpu.render.integrator import RayQueue
+            if not isinstance(primary, RayQueue):
+                raise TypeError("primary queue required")
+            return self.run(primary, n_samples)
+        finally:
+            self.device_drain = saved
+
+    def _run_sharded(self, pos: np.ndarray) -> np.ndarray:
+        n = self._n_dev
+        N = len(pos)
+        Nl = -(-N // n)                     # samples per device
+        Npad = Nl * n
+        if Npad > N:
+            pos = np.concatenate([pos, np.zeros((Npad - N, 2))])
+        # round-robin sample interleaving: device k takes samples
+        # k, k+n, k+2n, ... — neighbouring pixels cost alike, so striding
+        # them across devices balances the specular-depth load that
+        # contiguous row blocks concentrate on a few shards
+        idx = np.arange(Npad).reshape(Nl, n).T.reshape(-1)
+        pos_sh = pos[idx]
+        valid = (idx < N)
+        B = max(64, self.batch // n)        # per-device lanes per trip
+        C = 1 << int(np.ceil(np.log2(max(4 * Nl, 4 * B))))
+        key = (C, Nl, B)
+        if key not in self._sdrain_jit:
+            dt = self.dtype
+
+            def local(pos_l, val_l):        # [Nl, .] local sample block
+                p, d = self._camera_rays_dev(pos_l)
+                valid = val_l
+                pad = C + 3 * B - Nl
+                q = dict(
+                    p=jnp.concatenate([p, jnp.zeros((pad, 3), dt)]),
+                    d=jnp.concatenate(
+                        [d, jnp.tile(jnp.asarray([[0, 0, 1]], dt),
+                                     (pad, 1))]),
+                    intensity=jnp.concatenate(
+                        [valid.astype(dt), jnp.zeros((pad,), dt)]),
+                    tint=jnp.concatenate(
+                        [jnp.broadcast_to(valid.astype(dt)[:, None],
+                                          (Nl, 3)),
+                         jnp.zeros((pad, 3), dt)]),
+                    depth=jnp.concatenate(
+                        [jnp.full((Nl,), self.cfg.trace_depth, jnp.int32),
+                         jnp.zeros((pad,), jnp.int32)]),
+                    sample_id=jnp.concatenate(
+                        [jnp.arange(Nl, dtype=jnp.int32),
+                         jnp.zeros((pad,), jnp.int32)]))
+                acc, dropped, queries, trips = self._drain(
+                    q, jnp.int32(Nl), Nl, C, axis="rays", batch=B)
+                # trips is replicated (pmax loop cond -> all shards run
+                # the same trip count); per-shard `queries` (useful lanes
+                # processed) is the load-balance signal
+                return (acc,
+                        jax.lax.psum(dropped, "rays"),
+                        jnp.reshape(queries, (1,)),
+                        trips)
+
+            fn = jax.shard_map(local, mesh=self.mesh,
+                               in_specs=(P("rays"), P("rays")),
+                               out_specs=(P("rays"), P(), P("rays"),
+                                          P()))
+            self._sdrain_jit[key] = jax.jit(fn)
+
+        acc_sh, dropped, queries, trips = jax.device_get(
+            self._sdrain_jit[key](jnp.asarray(pos_sh, self.dtype),
+                                  jnp.asarray(valid)))
+        acc = np.empty_like(acc_sh)
+        acc[idx] = acc_sh                   # undo the interleave
+        queries = np.asarray(queries, np.int64)
+        per_ray = 2 + self.n_lights * self.direct_cap
+        self.rays_traced += int(queries.sum()) * per_ray
+        self.last_trips = int(trips)
+        self.last_balance = float(queries.sum()) / max(
+            1, n * int(queries.max()))
+        if int(dropped):
+            print(f"warning: ray queue overflow, {int(dropped)} rays "
+                  f"dropped", flush=True)
+        return acc[:N].astype(np.float64)

@@ -450,11 +450,13 @@ class Integrator:
             # skip the whole NEE block at runtime when no lane in the
             # batch shades diffusely (pure-specular wavefront generations
             # — most of a glass scene's deep trips)
+            # the zero branch derives from `pos` so both branches carry
+            # the same varying-axes type under shard_map (VMA check)
             lum_nee = jax.lax.cond(
                 jnp.any(di_gate),
                 lambda: self._nee(pos, surf_d, di, di_gate, theta_i, on_a,
                                   on_b, ray_prj, rv),
-                lambda: jnp.zeros((B, 3), dt))
+                lambda: pos * 0.0)
         path_parent = None
         if self.path_cap > 0:
             # spawn descriptors; expansion happens in _spawn_paths
@@ -795,16 +797,36 @@ class Integrator:
                   f"dropped", flush=True)
         return acc.astype(np.float64)
 
-    def _drain(self, q0, count0, n_samples, C):
+    def _drain(self, q0, count0, n_samples, C, axis=None, batch=None):
         """while(count>0): pop up to B lanes from the tail, step, compact
-        the child rays (cumsum scatter) back onto the tail."""
+        the child rays (cumsum scatter) back onto the tail.
+
+        With `axis` set this runs as the per-device body of a shard_map
+        drain (parallel/mesh.py): every device owns an independent local
+        queue, and the loop continues until ALL devices drain (pmax over
+        the mesh axis) so the SPMD trip counts agree; devices that finish
+        early take zero live lanes per trip."""
         dt = self.dtype
-        B = self.batch
-        acc0 = jnp.zeros((n_samples, 3), dt)
+        B = self.batch if batch is None else batch
+        # under shard_map the while carry must have consistent varying-axes
+        # types: the loop-updated values become device-varying, so every
+        # init must be marked varying too (camera origin rows / arange
+        # sample ids enter as replicated constants)
+        if axis is None:
+            pv = lambda x: x
+        else:
+            def pv(x):
+                vma = getattr(jax.typeof(x), "vma", frozenset())
+                return x if axis in vma else jax.lax.pcast(
+                    x, axis, to="varying")
+        acc0 = pv(jnp.zeros((n_samples, 3), dt))
+        count0 = pv(count0)
+        q0 = {k: pv(v) for k, v in q0.items()}
 
         def cond(carry):
             q, count, acc, it, dropped, queries = carry
-            return (count > 0) & (it < 100000)
+            c = count if axis is None else jax.lax.pmax(count, axis)
+            return (c > 0) & (it < 100000)
 
         def body(carry):
             q, count, acc, it, dropped, queries = carry
@@ -845,9 +867,11 @@ class Integrator:
                     q[f], comp.astype(q[f].dtype), s, axis=0)
             return (qn, s + nv_fit, acc, it + 1, dropped, queries + take)
 
+        # `it` advances identically on every device (stays replicated);
+        # dropped/queries accumulate device-local values (varying)
         q, count, acc, it, dropped, queries = jax.lax.while_loop(
-            cond, body, (q0, count0, acc0, jnp.int32(0), jnp.int32(0),
-                         jnp.int32(0)))
+            cond, body, (q0, count0, acc0, jnp.int32(0),
+                         pv(jnp.int32(0)), pv(jnp.int32(0))))
         return acc, dropped, queries, it
 
     def run(self, primary: RayQueue, n_samples: int,

@@ -970,6 +970,11 @@ class Tracer:
         formulas) and a real TPU backend."""
         if self.ovr or self.diff or not getattr(self, "use_pallas", True):
             return False
+        # the kernels bake every leaf as straight-line code; very large
+        # scenes (many_spheres: ~1.4k leaves) would explode compile time,
+        # and their chunked XLA path is already matmul-shaped
+        if len(self.tab) > 192:
+            return False
         import jax as _jax
         return _jax.default_backend() != "cpu"
 
