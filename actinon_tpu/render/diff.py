@@ -30,11 +30,16 @@ Design constraints on TPU/XLA:
     position-hashed seeding (src/scene.c:537) would make the sample set a
     discontinuous function of geometry and break finite-difference
     validation.
-  * Discrete events (nearest-object selection, shadow/NEE visibility,
-    CSG boundary identity) are treated as locally constant: gradients are
-    the *interior* derivatives, exact wherever the integrand is smooth
-    (i.e. away from silhouettes).  Edge/reparameterized sampling for the
-    boundary terms is possible on top of this estimator but not included.
+  * Discrete events (nearest-object selection, CSG boundary identity)
+    are treated as locally constant: gradients are the *interior*
+    derivatives, exact wherever the integrand is smooth.  The NEE
+    visibility discontinuity additionally gets an explicit **silhouette
+    boundary term** when `edge_aware=True`: deterministic quadrature
+    over each sphere occluder's silhouette circle adds the Reynolds
+    transport term of the moving shadow edge
+    (integrator._nee_edge_terms), FD-validated in tests/test_diff.py.
+    The light's own edge needs no term — cap sampling is already a
+    differentiable reparameterization of the moving cone domain.
 
 Validation: tests/test_diff.py checks jax.grad against central finite
 differences through multi-bounce transport (diffuse NEE, Fresnel
@@ -67,10 +72,14 @@ class DiffRenderer:
     """
 
     def __init__(self, integ: Integrator, n_steps: Optional[int] = None,
-                 sel_mode: str = "balanced"):
+                 sel_mode: str = "balanced", edge_aware: bool = False):
         self.integ = integ
         self.tr = integ.tr
         self.dtype = integ.dtype
+        # edge_aware: add the silhouette boundary term of the NEE
+        # visibility integral (integrator._nee_edge_terms) so occluder
+        # geometry gets correct gradients across shadow edges
+        self.edge_aware = edge_aware
         # one scan step consumes >= 1 depth unit, so trace_depth bounds
         # the chain length
         self.n_steps = int(integ.cfg.trace_depth) if n_steps is None \
@@ -233,11 +242,13 @@ class DiffRenderer:
         Pure function of (params, q0); call under jit/grad."""
         integ, tr = self.integ, self.tr
         n = self.n_steps if n_steps is None else n_steps
-        saved = (integ.ovr, tr.ovr, tr.diff, integ.seed_mode)
+        saved = (integ.ovr, tr.ovr, tr.diff, integ.seed_mode,
+                 getattr(integ, "edge_aware", False))
         integ.ovr = dict(params.get("mat", {}))
         tr.ovr = dict(params.get("geom", {}))
         tr.diff = True
         integ.seed_mode = "counter"
+        integ.edge_aware = self.edge_aware
         try:
             B = q0["p"].shape[0]
             acc0 = jnp.zeros((B, 3), self.dtype)
@@ -251,7 +262,8 @@ class DiffRenderer:
                 body, (q0, acc0), jnp.arange(n, dtype=jnp.int32))
             return acc
         finally:
-            integ.ovr, tr.ovr, tr.diff, integ.seed_mode = saved
+            (integ.ovr, tr.ovr, tr.diff, integ.seed_mode,
+             integ.edge_aware) = saved
 
     def render_loss(self, params: Dict, q0: Dict, weight=None):
         """Scalar mean weighted radiance — convenience loss head."""

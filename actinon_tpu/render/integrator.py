@@ -415,7 +415,8 @@ class Integrator:
         # --- fresnel branch (reference src/scene.c:473-495)
         fr_gate = shade & (fresnel > 0) & (intensity >= self.tmi)
         R = self._fresnel_reflectance(d, exit_nor, trix) * fresnel
-        refl_d = _norm3(d - exit_nor * (2.0 * _dot(d, exit_nor))[:, None])
+        from actinon_tpu import math3d as m3
+        refl_d = m3.reflect(d, exit_nor)
         children["fresnel"] = dict(
             mask=fr_gate, p=pos, d=refl_d, intensity=R * intensity,
             tint=tint_l, depth=depth - 1, sample_id=sid)
@@ -558,11 +559,11 @@ class Integrator:
                 ctr = 4 * (li * self.direct_cap + js)[None, :]
                 u1 = argn.uniform(rv[:, None], ctr, dt)
                 u2 = argn.uniform(rv[:, None], ctr + 1, dt)
-                phi = 2.0 * jnp.pi * u1
-                z = 1.0 - u2 * cyl_hgt[:, None]
-                sc = safe_sqrt(1.0 - z * z)
-                local = jnp.stack([jnp.sin(phi) * sc, jnp.cos(phi) * sc, z],
-                                  axis=-1)                      # [B,S,3]
+                # cap sample around +z (math3d.sphere_cap_sample,
+                # reference src/vectors.h:197-206)
+                from actinon_tpu import math3d as m3
+                local = m3.sphere_cap_sample(u1, u2,
+                                             cyl_hgt[:, None])  # [B,S,3]
                 out_d = jnp.einsum("rij,rsj->rsi", frame, local)
                 w = jnp.einsum("rsi,ri->rs", out_d, surf_d)
                 ok = (js[None, :] < ns[:, None]) & gate[:, None] & (w > 0)
@@ -605,21 +606,124 @@ class Integrator:
                 cl_sum = cl_sum + jnp.sum(
                     jnp.where(ok[..., None], contrib, 0.0), axis=1)
             lum += cl_sum * (2.0 * cyl_hgt / ns.astype(dt))[:, None]
+        if getattr(self, "edge_aware", False):
+            lum = lum + self._nee_edge_terms(pos, surf_d, di, gate,
+                                             theta_i, on_a, on_b, ray_prj)
         return lum
+
+    def _nee_edge_terms(self, pos, surf_d, di, gate, theta_i, on_a, on_b,
+                        ray_prj, K=32):
+        """Silhouette boundary term of the NEE visibility integral
+        (edge-aware gradients; no reference counterpart — the north-star
+        differentiable-path requirement).
+
+        The NEE estimator approximates I = (1/pi) * int_cap V(w) g(w) dw
+        with g = cos * OrenNayar * radiance/d^2 * di.  V's discontinuity
+        set — the silhouette circle of each sphere occluder as seen from
+        the shading point — moves with the scene parameters, so dI/dtheta
+        carries a boundary term (Reynolds transport):
+
+            -(1/pi) * oint_C g(w) (nhat . dw/dtheta) sin(alpha) dphi
+
+        over the in-cap, light-blocking arcs of each silhouette.  The
+        circle w(phi) = cos(a) u + sin(a)(cos(phi) e1 + sin(phi) e2) is a
+        closed form of (occluder center/radius, shading point), so AD
+        supplies dw/dtheta: each quadrature node contributes the scalar
+        g_detached * sin(a)_detached * (nhat_detached . w_traced), whose
+        VALUE is exactly zero (nhat is tangent to the direction sphere at
+        w) while its gradient is the boundary integrand.  Light-edge
+        motion needs no term: cap sampling z = 1 - u*cyl(theta) already
+        reparameterizes samples to move with the cap.
+
+        Covered: single-leaf sphere occluders against sphere-exact
+        lights.  Composite/SDF occluder silhouettes remain interior-only
+        (documented limitation)."""
+        dt = self.dtype
+        tr = self.tr
+        tab = tr.tab
+        sg = jax.lax.stop_gradient
+        B = pos.shape[0]
+        out = jnp.zeros((B, 3), dt)
+        occ = [i for i, row in enumerate(np.asarray(tab.sph_rows))
+               if tab.single[row] and not tab.is_light[row]]
+        if not occ:
+            return out
+        sph_c = tr._t("sph_c", tab.sph_c).astype(dt)
+        sph_r = tr._t("sph_r", tab.sph_r).astype(dt)
+        phis = (np.arange(K) + 0.5) * (2.0 * np.pi / K)
+        cphi = jnp.asarray(np.cos(phis), dt)
+        sphi = jnp.asarray(np.sin(phis), dt)
+        s_sd, s_ti = sg(surf_d), sg(theta_i)
+        s_pos = sg(pos)
+        for li in range(self.n_lights):
+            if not self.l_sphere_exact[li]:
+                continue
+            lpos = self._mt("l_pos")[li]
+            lrad = self._mt("l_rad")[li]
+            lr = self._mt("l_radius")[li]
+            lcol = self._mt("l_color")[li]
+            ldiff = sg(lpos) - s_pos
+            ldist2 = _dot(ldiff, ldiff)
+            fov_d = _norm3(ldiff)
+            r2 = sg(lr) * sg(lr)
+            cos_rs = jnp.where(
+                ldist2 > r2,
+                safe_sqrt(1.0 - r2 / jnp.where(ldist2 > 0, ldist2, 1.0)),
+                -1.0)
+            for i in occ:
+                c = sph_c[i]
+                r = sph_r[i]
+                rel = c - pos                       # traced
+                d2 = _dot(rel, rel)
+                dist = safe_sqrt(d2)
+                ok0 = (dist > r) & (r > 0) & gate
+                sin_a = jnp.clip(r / jnp.where(dist > 0, dist, 1.0),
+                                 0.0, 1.0)
+                cos_a = safe_sqrt(1.0 - sin_a * sin_a)
+                u = _norm3(rel)
+                fr = self._conz_t(u)                # columns e1, e2, u
+                e1, e2 = fr[:, :, 0], fr[:, :, 1]
+                circ = (cphi[None, :, None] * e1[:, None, :]
+                        + sphi[None, :, None] * e2[:, None, :])
+                w_dir = (cos_a[:, None, None] * u[:, None, :]
+                         + sin_a[:, None, None] * circ)   # [B,K,3] traced
+                wd = sg(w_dir)
+                w_cos = jnp.einsum("bki,bi->bk", wd, s_sd)
+                g_on = jnp.where(
+                    (on_b > 0)[:, None],
+                    self._oren_nayar_b(w_cos, s_ti, sg(on_a), sg(on_b),
+                                       wd, s_sd, sg(ray_prj)), w_cos)
+                a = self._sphere_hit(sg(lpos), sg(lr),
+                                     s_pos[:, None, :], wd)   # [B,K]
+                fin = jnp.isfinite(a)
+                in_cap = jnp.einsum("bki,bi->bk", wd, sg(fov_d)) \
+                    >= sg(cos_rs)[:, None]
+                t_sil = sg(dist * cos_a)
+                front = t_sil[:, None] < jnp.where(fin, a, INF)
+                a_safe = jnp.where(fin, a, 0.0)
+                hitp = s_pos[:, None, :] + wd * a_safe[..., None]
+                dsq = jnp.sum((hitp - sg(lpos)) ** 2, -1)
+                loc = jnp.where(dsq > 0,
+                                sg(lrad) / jnp.where(dsq > 0, dsq, 1.0),
+                                F3_MAG)
+                g = jnp.where(ok0[:, None] & fin & in_cap & front
+                              & (w_cos > 0),
+                              loc * g_on * sg(di)[:, None], 0.0)
+                g = sg(g)
+                nhat = sg(cos_a[:, None, None] * circ
+                          - sin_a[:, None, None] * u[:, None, :])
+                x = -(2.0 / K) * jnp.sum(
+                    g * sg(sin_a)[:, None]
+                    * jnp.einsum("bki,bki->bk", nhat, w_dir), axis=1)
+                xr = sg(lcol)[None, :] * x[:, None]
+                out = out + (xr - sg(xr))
+        return out
 
     def _conz_t(self, v):
         """transposed(con_z(v)): columns = orthonormal frame with z // v
         (reference src/vectors.h:315-322)."""
-        mz = _norm3(v)
-        # canonic orthonormal (v3d_s_con, reference src/vectors.h:165-175)
-        xx, yy, zz = v[..., 0] ** 2, v[..., 1] ** 2, v[..., 2] ** 2
-        ex = ((xx <= yy) & (xx <= zz)).astype(v.dtype)
-        ey = ((yy <= xx) & (yy <= zz)).astype(v.dtype)
-        ez = ((zz <= xx) & (zz <= yy)).astype(v.dtype)
-        c = jnp.stack([ex, ey, ez], axis=-1)
-        mx = _norm3(c - mz * _dot(mz, c)[..., None])
-        my = jnp.cross(mz, mx)
-        return jnp.stack([mx, my, mz], axis=-1)  # columns
+        from actinon_tpu import math3d as m3
+        return m3.transposed(m3.con_z(v))
 
     def _oren_nayar(self, weight, theta_i, on_a, on_b, out_d, nor, ray_prj):
         """reference src/scene.c:394-416."""
@@ -657,10 +761,8 @@ class Integrator:
         u2 = argn.uniform(pp["rv"][:, None],
                           4 * self.direct_cap * max(self.n_lights, 1)
                           + 2 * js[None, :] + 1, dt)
-        phi = 2.0 * jnp.pi * u1
-        z = 1.0 - u2 * 1.0
-        sc = safe_sqrt(1.0 - z * z)
-        local = jnp.stack([jnp.sin(phi) * sc, jnp.cos(phi) * sc, z], -1)
+        from actinon_tpu import math3d as m3
+        local = m3.sphere_cap_sample(u1, u2, 1.0)   # hemisphere cap
         out_d = jnp.einsum("rij,rkj->rki", frame, local)      # [B,cap,3]
         w = jnp.einsum("rki,ri->rk", out_d, surf_d)
         ok = pp["mask"][:, None] & (js[None, :] < ns[:, None]) & (w > 0)
@@ -798,14 +900,23 @@ class Integrator:
         return acc.astype(np.float64)
 
     def _drain(self, q0, count0, n_samples, C, axis=None, batch=None):
-        """while(count>0): pop up to B lanes from the tail, step, compact
+        """Staged drain: pop up to B lanes from the tail, step, compact
         the child rays (cumsum scatter) back onto the tail.
+
+        The wavefront decays geometrically, so a single batch size wastes
+        most of its lane slots on the tail generations (a trip always
+        pays the full [B] step whatever `take` is).  The drain therefore
+        runs a CASCADE of while_loops with shrinking batch sizes
+        [B, B/8, B/64, ...]: stage k runs while count > B_{k+1}, so its
+        occupancy never falls below 1/8, and the tail finishes in cheap
+        small-batch trips.  Children from a trip of B_k lanes are at most
+        3*B_k, so the queue cannot regrow past an earlier stage's domain.
 
         With `axis` set this runs as the per-device body of a shard_map
         drain (parallel/mesh.py): every device owns an independent local
-        queue, and the loop continues until ALL devices drain (pmax over
-        the mesh axis) so the SPMD trip counts agree; devices that finish
-        early take zero live lanes per trip."""
+        queue, and each stage continues until ALL devices pass its
+        threshold (pmax over the mesh axis) so the SPMD trip counts
+        agree; devices that finish early take zero live lanes per trip."""
         dt = self.dtype
         B = self.batch if batch is None else batch
         # under shard_map the while carry must have consistent varying-axes
@@ -823,55 +934,72 @@ class Integrator:
         count0 = pv(count0)
         q0 = {k: pv(v) for k, v in q0.items()}
 
-        def cond(carry):
-            q, count, acc, it, dropped, queries = carry
-            c = count if axis is None else jax.lax.pmax(count, axis)
-            return (c > 0) & (it < 100000)
+        stages = [B]
+        while stages[-1] > 1024:
+            stages.append(max(stages[-1] // 8, 512))
 
-        def body(carry):
-            q, count, acc, it, dropped, queries = carry
-            s = jnp.maximum(count - B, 0)
-            take = count - s
-            lanes = {k: jax.lax.dynamic_slice_in_dim(v, s, B, axis=0)
-                     for k, v in q.items()}
-            valid = jnp.arange(B) < take
-            lanes["intensity"] = jnp.where(valid, lanes["intensity"], 0.0)
+        def make_body(Bk):
+            def body(carry):
+                q, count, acc, it, dropped, queries = carry
+                s = jnp.maximum(count - Bk, 0)
+                take = count - s
+                lanes = {k: jax.lax.dynamic_slice_in_dim(v, s, Bk, axis=0)
+                         for k, v in q.items()}
+                valid = jnp.arange(Bk) < take
+                lanes["intensity"] = jnp.where(valid, lanes["intensity"],
+                                               0.0)
 
-            sid, contrib, children, _ = self._step(lanes, path_ray=False)
-            acc = acc.at[sid].add(jnp.where(valid[:, None], contrib, 0.0))
+                sid, contrib, children, _ = self._step(lanes,
+                                                       path_ray=False)
+                acc = acc.at[sid].add(
+                    jnp.where(valid[:, None], contrib, 0.0))
 
-            # compact [3B] child candidates into a dense prefix.  TPU
-            # scatters run at ~4 GB/s, so scatter ONLY a [3B] int32 source
-            # index (0.4 MB) and pull the 12 row fields through one gather
-            # instead of scattering full rows (4.7 MB)
-            ch = [children["fresnel"], children["chromatic"],
-                  children["refract"]]
-            cmask = jnp.concatenate([c["mask"] & valid & (c["intensity"] > 0)
-                                     for c in ch])
-            posn = jnp.cumsum(cmask.astype(jnp.int32)) - 1
-            nv = posn[-1] + 1
-            pos = jnp.where(cmask, posn, 3 * B)   # invalid -> dropped
-            nv_fit = jnp.minimum(nv, C - s)
-            dropped = dropped + (nv - nv_fit)
+                # compact [3Bk] child candidates into a dense prefix.  TPU
+                # scatters run at ~4 GB/s, so scatter ONLY a [3Bk] int32
+                # source index (0.4 MB) and pull the 12 row fields through
+                # one gather instead of scattering full rows (4.7 MB)
+                ch = [children["fresnel"], children["chromatic"],
+                      children["refract"]]
+                cmask = jnp.concatenate(
+                    [c["mask"] & valid & (c["intensity"] > 0) for c in ch])
+                posn = jnp.cumsum(cmask.astype(jnp.int32)) - 1
+                nv = posn[-1] + 1
+                pos = jnp.where(cmask, posn, 3 * Bk)  # invalid -> dropped
+                nv_fit = jnp.minimum(nv, C - s)
+                dropped = dropped + (nv - nv_fit)
 
-            src = jnp.zeros((3 * B,), jnp.int32).at[pos].set(
-                jnp.arange(3 * B, dtype=jnp.int32), mode="drop")
-            live = jnp.arange(3 * B) < nv_fit
-            qn = {}
-            for f in ("p", "d", "intensity", "tint", "depth", "sample_id"):
-                a = jnp.concatenate([c[f] for c in ch])
-                comp = a[src]
-                if f == "intensity":
-                    comp = jnp.where(live, comp, 0.0)
-                qn[f] = jax.lax.dynamic_update_slice_in_dim(
-                    q[f], comp.astype(q[f].dtype), s, axis=0)
-            return (qn, s + nv_fit, acc, it + 1, dropped, queries + take)
+                src = jnp.zeros((3 * Bk,), jnp.int32).at[pos].set(
+                    jnp.arange(3 * Bk, dtype=jnp.int32), mode="drop")
+                live = jnp.arange(3 * Bk) < nv_fit
+                qn = {}
+                for f in ("p", "d", "intensity", "tint", "depth",
+                          "sample_id"):
+                    a = jnp.concatenate([c[f] for c in ch])
+                    comp = a[src]
+                    if f == "intensity":
+                        comp = jnp.where(live, comp, 0.0)
+                    qn[f] = jax.lax.dynamic_update_slice_in_dim(
+                        q[f], comp.astype(q[f].dtype), s, axis=0)
+                return (qn, s + nv_fit, acc, it + 1, dropped,
+                        queries + take)
+            return body
+
+        def make_cond(thresh):
+            def cond(carry):
+                q, count, acc, it, dropped, queries = carry
+                c = count if axis is None else jax.lax.pmax(count, axis)
+                return (c > thresh) & (it < 100000)
+            return cond
 
         # `it` advances identically on every device (stays replicated);
         # dropped/queries accumulate device-local values (varying)
-        q, count, acc, it, dropped, queries = jax.lax.while_loop(
-            cond, body, (q0, count0, acc0, jnp.int32(0),
-                         pv(jnp.int32(0)), pv(jnp.int32(0))))
+        carry = (q0, count0, acc0, jnp.int32(0),
+                 pv(jnp.int32(0)), pv(jnp.int32(0)))
+        for k, Bk in enumerate(stages):
+            thresh = stages[k + 1] if k + 1 < len(stages) else 0
+            carry = jax.lax.while_loop(make_cond(thresh), make_body(Bk),
+                                       carry)
+        q, count, acc, it, dropped, queries = carry
         return acc, dropped, queries, it
 
     def run(self, primary: RayQueue, n_samples: int,

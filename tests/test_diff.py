@@ -197,3 +197,96 @@ def test_radiance_matches_forward_expectation():
     integ.device_drain = False
     acc = integ.run(primary, n)
     np.testing.assert_allclose(rad, acc, rtol=1e-8, atol=1e-10)
+
+
+class TestEdgeAwareVisibility:
+    """Silhouette boundary term (integrator._nee_edge_terms): occluder
+    geometry gradients across shadow edges.  The shading rays are
+    injected below the occluder so primaries never hit it: the ONLY
+    dependence of the image on the occluder center is the moving shadow
+    edge, which interior-only AD reports as (near-)zero and the
+    edge-aware estimator must recover (matching central FD)."""
+
+    N = 512
+
+    @staticmethod
+    def _scene():
+        sc = Scene()
+        cfg = sc.cfg
+        cfg.image_width, cfg.image_height = 8, 6
+        cfg.trace_depth = 3
+        cfg.direct_samples = 64
+        cfg.path_samples = 0
+        cfg.background_color = (0.0, 0.0, 0.0)
+
+        lamp = Sphere(0.5)
+        lamp.prp.radiance = 25.0
+        lamp.move(v3(0, 0, 5))
+        sc.push(lamp)
+
+        floor = Plane()                       # z = 0, normal +z
+        floor.prp.fresnel_reflectivity = 0.0  # pure diffuse
+        sc.push(floor)
+
+        occ = Sphere(0.6)                     # between floor and lamp
+        occ.prp.fresnel_reflectivity = 0.0
+        occ.move(v3(0.8, 0.0, 2.0))
+        sc.push(occ)
+        return sc
+
+    def _setup(self, edge_aware, seed=11):
+        import jax.numpy as jnp
+        sc = self._scene()
+        ir = sir.compile_scene(sc)
+        n = self.N
+        tr = Tracer(ir, dtype=np.float64)
+        integ = Integrator(tr, batch=n)
+        dr = DiffRenderer(integ, sel_mode="uniform", edge_aware=edge_aware)
+        # downward rays over the penumbra band, started below the occluder
+        rng = np.random.default_rng(seed)
+        px = rng.uniform(-0.3, 0.5, n)
+        py = rng.uniform(-0.4, 0.4, n)
+        p = np.stack([px, py, np.full(n, 0.5)], -1)
+        d = np.tile(np.array([0.0, 0.0, -1.0]), (n, 1))
+        q0 = {
+            "p": jnp.asarray(p), "d": jnp.asarray(d),
+            "intensity": jnp.ones((n,), np.float64),
+            "tint": jnp.ones((n, 3), np.float64),
+            "depth": jnp.full((n,), sc.cfg.trace_depth, np.int32),
+            "sample_id": jnp.arange(n, dtype=np.int32),
+            "is_path": jnp.zeros((n,), bool),
+        }
+        return dr, q0
+
+    def _grads(self, edge_aware, delta=2e-2):
+        dr, q0 = self._setup(edge_aware)
+        params = dr.params()
+        loss_fn = lambda ps: dr.render_loss(ps, q0)
+        val, grads = jax.value_and_grad(loss_fn)(params)
+        # occluder = sphere-table row 1 (lamp row 0); x component
+        g_ad = float(np.asarray(grads["geom"]["sph_c"]).reshape(-1)[3 + 0])
+
+        leaf = np.asarray(params["geom"]["sph_c"], np.float64)
+
+        def eval_at(eps):
+            pert = leaf.reshape(-1).copy()
+            pert[3 + 0] += eps
+            ps = {g: dict(v) for g, v in params.items()}
+            ps["geom"]["sph_c"] = pert.reshape(leaf.shape)
+            return float(loss_fn(ps))
+
+        g_fd = (eval_at(delta) - eval_at(-delta)) / (2 * delta)
+        return val, g_ad, g_fd
+
+    def test_edge_term_matches_fd(self):
+        val, g_ad, g_fd = self._grads(edge_aware=True)
+        assert np.isfinite(val)
+        # shadow-edge derivative is macroscopic; MC/quadrature noise
+        # bounds the agreement
+        assert abs(g_fd) > 1e-3
+        assert abs(g_ad - g_fd) <= 0.25 * abs(g_fd), (g_ad, g_fd)
+
+    def test_interior_only_gradient_is_wrong(self):
+        _, g_ad, g_fd = self._grads(edge_aware=False)
+        # interior-only AD misses the shadow-edge derivative entirely
+        assert abs(g_ad - g_fd) > 0.5 * abs(g_fd), (g_ad, g_fd)
