@@ -42,6 +42,10 @@ from actinon_tpu.render.integrator import Integrator
 
 
 def make_mesh(n_devices: Optional[int] = None) -> Mesh:
+    """1-D `rays` mesh over the GLOBAL device list — in a multi-process
+    (multi-host) run jax.devices() spans all hosts, so the same mesh
+    shards samples across hosts over DCN and across a host's chips over
+    ICI (SURVEY.md section 2.12)."""
     devs = jax.devices()
     n = len(devs) if n_devices is None else n_devices
     return Mesh(np.array(devs[:n]), ("rays",))
@@ -80,10 +84,8 @@ class ShardedIntegrator(Integrator):
     # ------------------------------------------------------------------
 
     def run_samples(self, pos_xy: np.ndarray) -> np.ndarray:
-        if self.path_cap != 0:
-            # splitting path branch spawns host-side; the sharded _step
-            # jits above keep that path mesh-parallel
-            return super().run_samples(pos_xy)
+        # path configs run the mixed-kind drain (parents expand in place
+        # on their own device), so every workload shards the same way
         return self._run_sharded(np.asarray(pos_xy))
 
     def run_device(self, primary, n_samples, pos_xy=None):
@@ -116,7 +118,9 @@ class ShardedIntegrator(Integrator):
         pos_sh = pos[idx]
         valid = (idx < N)
         B = max(64, self.batch // n)        # per-device lanes per trip
-        C = 1 << int(np.ceil(np.log2(max(4 * Nl, 4 * B))))
+        nb = self._n_child_blocks
+        cap_fac = 4 if self.path_cap == 0 else 8
+        C = 1 << int(np.ceil(np.log2(max(cap_fac * Nl, 4 * B))))
         key = (C, Nl, B)
         if key not in self._sdrain_jit:
             dt = self.dtype
@@ -124,7 +128,7 @@ class ShardedIntegrator(Integrator):
             def local(pos_l, val_l):        # [Nl, .] local sample block
                 p, d = self._camera_rays_dev(pos_l)
                 valid = val_l
-                pad = C + 3 * B - Nl
+                pad = C + nb * B - Nl
                 q = dict(
                     p=jnp.concatenate([p, jnp.zeros((pad, 3), dt)]),
                     d=jnp.concatenate(
@@ -142,6 +146,8 @@ class ShardedIntegrator(Integrator):
                     sample_id=jnp.concatenate(
                         [jnp.arange(Nl, dtype=jnp.int32),
                          jnp.zeros((pad,), jnp.int32)]))
+                if self.path_cap:
+                    q.update(self._mixed_pad_fields(C + nb * B))
                 acc, dropped, queries, trips = self._drain(
                     q, jnp.int32(Nl), Nl, C, axis="rays", batch=B)
                 # trips is replicated (pmax loop cond -> all shards run
@@ -158,9 +164,32 @@ class ShardedIntegrator(Integrator):
                                           P()))
             self._sdrain_jit[key] = jax.jit(fn)
 
-        acc_sh, dropped, queries, trips = jax.device_get(
-            self._sdrain_jit[key](jnp.asarray(pos_sh, self.dtype),
-                                  jnp.asarray(valid)))
+        if jax.process_count() > 1:
+            # multi-host: every process owns the sample rows of ITS mesh
+            # devices; assemble global sharded inputs from the local
+            # slices, and allgather the sharded outputs back to every
+            # host (the reference's analog is frame-level sharding over a
+            # shared filesystem, src_acn/diamond_video.acn:202-227)
+            from jax.experimental import multihost_utils
+            # every process computed the same global pos_sh; hand the
+            # assembler only the rows of THIS process's mesh devices
+            pc, pid = jax.process_count(), jax.process_index()
+            lo, hi = pid * Npad // pc, (pid + 1) * Npad // pc
+            pos_g = multihost_utils.host_local_array_to_global_array(
+                np.asarray(pos_sh[lo:hi], self.dtype), self.mesh,
+                P("rays"))
+            val_g = multihost_utils.host_local_array_to_global_array(
+                np.asarray(valid[lo:hi]), self.mesh, P("rays"))
+            acc_g, dropped, queries_g, trips = \
+                self._sdrain_jit[key](pos_g, val_g)
+            acc_sh = multihost_utils.process_allgather(acc_g, tiled=True)
+            queries = multihost_utils.process_allgather(queries_g,
+                                                        tiled=True)
+            dropped, trips = jax.device_get((dropped, trips))
+        else:
+            acc_sh, dropped, queries, trips = jax.device_get(
+                self._sdrain_jit[key](jnp.asarray(pos_sh, self.dtype),
+                                      jnp.asarray(valid)))
         acc = np.empty_like(acc_sh)
         acc[idx] = acc_sh                   # undo the interleave
         queries = np.asarray(queries, np.int64)
@@ -172,4 +201,47 @@ class ShardedIntegrator(Integrator):
         if int(dropped):
             print(f"warning: ray queue overflow, {int(dropped)} rays "
                   f"dropped", flush=True)
+        from actinon_tpu.render.integrator import DRAIN_TRIP_CAP
+        if int(trips) >= DRAIN_TRIP_CAP:
+            print(f"warning: drain trip cap ({DRAIN_TRIP_CAP}) reached — "
+                  f"wavefront terminated early, image under-rendered",
+                  flush=True)
         return acc[:N].astype(np.float64)
+
+
+class ShardedDiffRenderer:
+    """Differentiable forward+backward sharded over the `rays` mesh.
+
+    The primary sample batch is sharded on the mesh's `rays` axis and the
+    parameter pytree is replicated; `render_loss` is a mean over samples,
+    so XLA's SPMD partitioner inserts the cross-device gradient psum
+    (the canonical data-parallel gradient reduction, SURVEY.md section
+    2.12 "psum for gradient/image reduction") — no hand-written
+    collectives needed.  Returns replicated (loss, grads) identical on
+    every device, equal to the single-device result up to f32 reduction
+    order.
+    """
+
+    def __init__(self, diff_renderer, mesh: Mesh):
+        from actinon_tpu.render.diff import DiffRenderer
+        assert isinstance(diff_renderer, DiffRenderer)
+        self.dr = diff_renderer
+        self.mesh = mesh
+        self._vg_jit = None
+
+    def value_and_grad(self, q0, weight=None):
+        row = NamedSharding(self.mesh, P("rays"))
+        rep = NamedSharding(self.mesh, P())
+        q0 = {k: jax.device_put(jnp.asarray(v), row)
+              for k, v in q0.items()}
+        params = jax.device_put(self.dr.params(), rep)
+        if self._vg_jit is None:
+            self._vg_jit = jax.jit(jax.value_and_grad(
+                lambda ps, q, w: self.dr.render_loss(ps, q, w)))
+        if weight is not None:
+            weight = jax.device_put(jnp.asarray(weight), row)
+        else:
+            weight = jax.device_put(
+                jnp.ones((next(iter(q0.values())).shape[0], 1),
+                         self.dr.dtype), row)
+        return self._vg_jit(params, q0, weight)

@@ -46,6 +46,14 @@ from actinon_tpu.render.tracer import (Tracer, _norm3, _dot, safe_sqrt, safe_aco
 
 INF = jnp.inf
 F3_MAG = 1e30
+# runaway-wavefront backstop: a pathological scene that keeps spawning
+# children exits the drain loop here — run_device warns when it fires
+DRAIN_TRIP_CAP = 100000
+# path children emitted per parent lane per drain trip: a parent
+# descriptor with ns samples re-enqueues itself ns/PATH_EXPAND times, so
+# the parent-lane overhead (a parent occupies one traced lane per trip)
+# is ~1/PATH_EXPAND of the path work it generates
+PATH_EXPAND = 16
 
 
 @dataclasses.dataclass
@@ -313,9 +321,17 @@ class Integrator:
 
     # ------------------------------------------------------------------
 
-    def _step(self, q: Dict, path_ray: bool):
+    def _step(self, q: Dict, path_ray: bool, mixed: bool = False):
         """One wavefront step over a padded batch.  Returns
-        (sample_id, contrib[B,3], children dict)."""
+        (sample_id, contrib[B,3], children dict, path_parent).
+
+        mixed=True: q carries a per-lane `kind` (0 normal ray, 1 path
+        ray, 2 path-parent descriptor) plus the parent aux fields; the
+        trace is ONE traversal with per-lane light masking, parent lanes
+        are expanded into path children in place, and the path spawn is
+        returned as child blocks instead of a host-side descriptor — the
+        device-resident form of the splitting path recursion (reference
+        src/scene.c:584-621)."""
         dt = self.dtype
         p, d = q["p"], q["d"]
         intensity, tint = q["intensity"], q["tint"]
@@ -325,7 +341,15 @@ class Integrator:
 
         bg = self._mt("background")
 
-        if path_ray:
+        if mixed:
+            is_path = q["kind"] == 1
+            is_parent = q["kind"] == 2
+            alive = alive & ~is_parent
+            t, exit_nor, enter, exit_ = self.tr.trans_hit_mixed(
+                p, d, is_path)
+            hit_ok = jnp.isfinite(t) & (~is_path
+                                        | (t < self.max_path_length))
+        elif path_ray:
             t, exit_nor, enter, exit_ = self.tr.trans_hit_matter(p, d)
             # miss OR beyond max_path_length -> background
             # (reference src/scene.c:608-616)
@@ -483,6 +507,32 @@ class Integrator:
             mask=re_gate, p=refr_p, d=refr_d, intensity=intensity,
             tint=tint_l, depth=depth - 1, sample_id=sid)
 
+        if mixed:
+            # widen the specular blocks to the mixed field set, turn the
+            # path-spawn descriptor into a queue-resident parent block,
+            # and expand THIS batch's parent lanes into path children
+            zero3 = jnp.zeros((B, 3), dt)
+            z1 = jnp.zeros((B,), dt)
+            zi = jnp.zeros((B,), jnp.int32)
+            zu = jnp.zeros((B,), jnp.uint32)
+            for name in ("fresnel", "chromatic", "refract"):
+                children[name].update(
+                    kind=zi, aux_prj=zero3, aux_t=z1, aux_a=z1, aux_b=z1,
+                    rv=zu, j0=zi, ns=zi)
+            if path_parent is not None:
+                pp = path_parent
+                children["parent"] = dict(
+                    mask=pp["mask"], p=pp["pos"], d=pp["surf_d"],
+                    intensity=pp["di"], tint=pp["tint"],
+                    depth=pp["depth"], sample_id=pp["sample_id"],
+                    kind=jnp.full((B,), 2, jnp.int32),
+                    aux_prj=pp["ray_prj"], aux_t=pp["theta_i"],
+                    aux_a=pp["on_a"], aux_b=pp["on_b"], rv=pp["rv"],
+                    j0=zi, ns=pp["ns"])
+                # parent-lane EXPANSION happens in the drain body
+                # (_expand_parents), which knows the queue headroom
+                path_parent = None
+
         return sid, contrib, children, path_parent
 
     # ------------------------------------------------------------------
@@ -549,9 +599,13 @@ class Integrator:
             # all samples for this light as one flattened batch: the shadow
             # traces run as [B*S_chunk] rays in few big device calls instead
             # of direct_cap sequential [B] calls (loop latency + small-batch
-            # underutilization both vanish)
-            s_chunk = max(1, min(self.direct_cap,
-                                 (1 << 20) // max(B, 1)))
+            # underutilization both vanish).  The flat-ray budget shrinks
+            # with the scene's leaf count so B*S x leaves intermediates in
+            # the shadow traversal stay bounded (many_spheres: ~1.4k leaves)
+            from actinon_tpu.render.tracer import CHUNK as _LCHUNK
+            W = max(1, min(len(self.tr.tab), _LCHUNK))
+            budget = min(1 << 20, (1 << 26) // W)
+            s_chunk = max(1, min(self.direct_cap, budget // max(B, 1)))
             cl_sum = jnp.zeros((B, 3), dt)
             for j0 in range(0, self.direct_cap, s_chunk):
                 js = jnp.arange(j0, min(j0 + s_chunk, self.direct_cap))
@@ -784,6 +838,65 @@ class Integrator:
             depth=jnp.broadcast_to(pp["depth"][:, None], (B, cap)),
             sample_id=jnp.broadcast_to(pp["sample_id"][:, None], (B, cap)))
 
+    def _expand_parents(self, q: Dict, allow):
+        """Expand parent lanes of a mixed batch into PATH_EXPAND path
+        children each plus one continuation (device-resident form of
+        _spawn_paths; identical RNG counters, estimator factors and depth
+        bookkeeping — reference src/scene.c:584-621).  A parent lane
+        stores: p=hit pos, d=outward normal, intensity=di,
+        tint=tint*albedo, depth=child depth (already depth-10), plus the
+        aux fields (ray_prj/theta_i/on_a/on_b/rv/j0/ns).
+
+        `allow` [B] bool: parents denied by the drain's queue-headroom
+        budget emit NO children this trip and re-enqueue unchanged."""
+        dt = self.dtype
+        K = PATH_EXPAND
+        is_parent = q["kind"] == 2
+        pos, surf_d = q["p"], q["d"]
+        di, ns, j0 = q["intensity"], q["ns"], q["j0"]
+        B = pos.shape[0]
+        frame = self._conz_t(surf_d)
+        js = j0[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :]
+        c0 = 4 * self.direct_cap * max(self.n_lights, 1)
+        u1 = argn.uniform(q["rv"][:, None], c0 + 2 * js, dt)
+        u2 = argn.uniform(q["rv"][:, None], c0 + 2 * js + 1, dt)
+        from actinon_tpu import math3d as m3
+        local = m3.sphere_cap_sample(u1, u2, 1.0)       # hemisphere cap
+        out_d = jnp.einsum("rij,rkj->rki", frame, local)
+        w = jnp.einsum("rki,ri->rk", out_d, surf_d)
+        ok = (is_parent & allow)[:, None] & (js < ns[:, None]) & (w > 0) \
+            & (di > 0)[:, None]
+        won = jnp.where(
+            (q["aux_b"] > 0)[:, None],
+            self._oren_nayar_b(w, q["aux_t"], q["aux_a"], q["aux_b"],
+                               out_d, surf_d, q["aux_prj"]), w)
+        ns_f = jnp.maximum(ns.astype(dt), 1.0)
+        child_tint = q["tint"] * (2.0 / ns_f)[:, None]
+        zero3 = jnp.zeros((B, 3), dt)
+        z1 = jnp.zeros((B,), dt)
+        zi = jnp.zeros((B,), jnp.int32)
+        zu = jnp.zeros((B,), jnp.uint32)
+        blocks = []
+        for k in range(K):
+            blocks.append(dict(
+                mask=ok[:, k], p=pos, d=out_d[:, k, :],
+                intensity=won[:, k] * di, tint=child_tint,
+                depth=q["depth"], sample_id=q["sample_id"],
+                kind=jnp.ones((B,), jnp.int32),
+                aux_prj=zero3, aux_t=z1, aux_a=z1, aux_b=z1,
+                rv=zu, j0=zi, ns=zi))
+        cont = is_parent & (di > 0) \
+            & jnp.where(allow, j0 + K < ns, True)
+        blocks.append(dict(
+            mask=cont,
+            p=pos, d=surf_d, intensity=di, tint=q["tint"],
+            depth=q["depth"], sample_id=q["sample_id"],
+            kind=jnp.full((B,), 2, jnp.int32),
+            aux_prj=q["aux_prj"], aux_t=q["aux_t"], aux_a=q["aux_a"],
+            aux_b=q["aux_b"], rv=q["rv"],
+            j0=jnp.where(allow, j0 + K, j0), ns=ns))
+        return blocks
+
     def _oren_nayar_b(self, weight, theta_i, on_a, on_b, out_d, nor,
                       ray_prj):
         """Batched over [B, K] sample axis."""
@@ -822,7 +935,7 @@ class Integrator:
         (x, y).  On the device drain the queue is BUILT on device from the
         positions; otherwise falls back to host raygen + run()."""
         n = len(pos_xy)
-        if self.path_cap == 0 and getattr(self, "device_drain", True) \
+        if getattr(self, "device_drain", True) \
                 and jax.default_backend() != "cpu":
             return self.run_device(None, n, pos_xy=pos_xy)
         from actinon_tpu.render.driver import camera_rays
@@ -834,19 +947,41 @@ class Integrator:
             np.arange(n, dtype=np.int32))
         return self.run(primary, n)
 
+    @property
+    def _n_child_blocks(self):
+        """Child candidate blocks emitted per drain trip: the 3 specular
+        branches, plus (path configs) 1 new-parent block + PATH_EXPAND
+        path children + 1 parent continuation."""
+        return 3 if self.path_cap == 0 else 5 + PATH_EXPAND
+
+    def _mixed_pad_fields(self, pad):
+        """Zero-filled mixed-queue aux fields for `pad` dead lanes."""
+        dt = self.dtype
+        return dict(
+            kind=jnp.zeros((pad,), jnp.int32),
+            aux_prj=jnp.zeros((pad, 3), dt),
+            aux_t=jnp.zeros((pad,), dt),
+            aux_a=jnp.zeros((pad,), dt),
+            aux_b=jnp.zeros((pad,), dt),
+            rv=jnp.zeros((pad,), jnp.uint32),
+            j0=jnp.zeros((pad,), jnp.int32),
+            ns=jnp.zeros((pad,), jnp.int32))
+
     def run_device(self, primary: Optional[RayQueue], n_samples: int,
                    pos_xy: Optional[np.ndarray] = None) -> np.ndarray:
         """Device-resident wavefront drain: the whole pass is ONE jitted
         `lax.while_loop` — raygen (when pos_xy is given), queue, child
         compaction and accumulation all stay on device, so per-step host
-        round trips (disastrous over a TPU tunnel) vanish.  Requires
-        path_samples == 0 (the splitting path branch is spawned host-side;
-        see run())."""
-        assert self.path_cap == 0
+        round trips (disastrous over a TPU tunnel) vanish.  Path configs
+        (path_samples > 0) run the mixed-kind drain: path spawn parents
+        live in the same queue and expand in place (_expand_parents)."""
         dt = self.dtype
         N = n_samples
         B = self.batch
-        C = 1 << int(np.ceil(np.log2(max(4 * N, 4 * B))))
+        nb = self._n_child_blocks
+        # path configs queue path children transiently: double the slack
+        cap_fac = 4 if self.path_cap == 0 else 8
+        C = 1 << int(np.ceil(np.log2(max(cap_fac * N, 4 * B))))
 
         if not hasattr(self, "_drain_jit"):
             self._drain_jit = {}
@@ -855,7 +990,7 @@ class Integrator:
             if key not in self._drain_jit:
                 def drain_pos(pos):
                     p, d = self._camera_rays_dev(pos)
-                    pad = C + 3 * B - N
+                    pad = C + nb * B - N
                     z1 = jnp.zeros((pad,), dt)
                     q = dict(
                         p=jnp.concatenate([p, jnp.zeros((pad, 3), dt)]),
@@ -871,20 +1006,24 @@ class Integrator:
                         sample_id=jnp.concatenate(
                             [jnp.arange(N, dtype=jnp.int32),
                              jnp.zeros((pad,), jnp.int32)]))
+                    if self.path_cap:
+                        q.update(self._mixed_pad_fields(C + nb * B))
                     return self._drain(q, jnp.int32(N), N, C)
                 self._drain_jit[key] = jax.jit(drain_pos)
             out = self._drain_jit[key](jnp.asarray(pos_xy, dt))
         else:
-            # buffer physically sized C + 3B so the child write-back is
-            # always a full in-bounds 3B block; logical entries live in
+            # buffer physically sized C + nb*B so the child write-back is
+            # always a full in-bounds block; logical entries live in
             # [0, count)
-            buf = primary.padded(C + 3 * self.batch, dt)
+            buf = primary.padded(C + nb * self.batch, dt)
             init = dict(
                 p=jnp.asarray(buf.p), d=jnp.asarray(buf.d),
                 intensity=jnp.asarray(buf.intensity),
                 tint=jnp.asarray(buf.tint),
                 depth=jnp.asarray(buf.depth),
                 sample_id=jnp.asarray(buf.sample_id))
+            if self.path_cap:
+                init.update(self._mixed_pad_fields(C + nb * self.batch))
             key = (C, n_samples)
             if key not in self._drain_jit:
                 self._drain_jit[key] = jax.jit(
@@ -897,6 +1036,10 @@ class Integrator:
         if int(dropped):
             print(f"warning: ray queue overflow, {int(dropped)} rays "
                   f"dropped", flush=True)
+        if int(trips) >= DRAIN_TRIP_CAP:
+            print(f"warning: drain trip cap ({DRAIN_TRIP_CAP}) reached — "
+                  f"wavefront terminated early, image under-rendered",
+                  flush=True)
         return acc.astype(np.float64)
 
     def _drain(self, q0, count0, n_samples, C, axis=None, batch=None):
@@ -938,6 +1081,12 @@ class Integrator:
         while stages[-1] > 1024:
             stages.append(max(stages[-1] // 8, 512))
 
+        mixed = self.path_cap > 0
+        nb = self._n_child_blocks
+        fields = ("p", "d", "intensity", "tint", "depth", "sample_id") \
+            + (("kind", "aux_prj", "aux_t", "aux_a", "aux_b", "rv",
+                "j0", "ns") if mixed else ())
+
         def make_body(Bk):
             def body(carry):
                 q, count, acc, it, dropped, queries = carry
@@ -950,45 +1099,62 @@ class Integrator:
                                                0.0)
 
                 sid, contrib, children, _ = self._step(lanes,
-                                                       path_ray=False)
+                                                       path_ray=False,
+                                                       mixed=mixed)
                 acc = acc.at[sid].add(
                     jnp.where(valid[:, None], contrib, 0.0))
 
-                # compact [3Bk] child candidates into a dense prefix.  TPU
-                # scatters run at ~4 GB/s, so scatter ONLY a [3Bk] int32
-                # source index (0.4 MB) and pull the 12 row fields through
-                # one gather instead of scattering full rows (4.7 MB)
-                ch = [children["fresnel"], children["chromatic"],
-                      children["refract"]]
+                # compact [nb*Bk] child candidates into a dense prefix.
+                # TPU scatters run at ~4 GB/s, so scatter ONLY an int32
+                # source index and pull the row fields through one gather
+                # instead of scattering full rows
+                ch = list(children.values())
+                if mixed:
+                    # parent expansion under a queue-headroom budget: a
+                    # trip's specular+new-parent children take <= 4*Bk
+                    # rows; each allowed parent adds K+1 more.  Parents
+                    # beyond the budget re-enqueue untouched, so the
+                    # queue can NEVER overflow from path spawn (the >=1
+                    # floor guarantees drain progress; its worst-case
+                    # overshoot is one parent's K+1 rows, absorbed by the
+                    # buffer slack and the dropped-rays backstop).
+                    K = PATH_EXPAND
+                    is_par = valid & (lanes["kind"] == 2)
+                    allow_n = jnp.maximum((C - s - 4 * Bk) // (K + 1), 1)
+                    rank = jnp.cumsum(is_par.astype(jnp.int32)) - 1
+                    allow = is_par & (rank < allow_n)
+                    ch = ch + self._expand_parents(lanes, allow)
                 cmask = jnp.concatenate(
                     [c["mask"] & valid & (c["intensity"] > 0) for c in ch])
                 posn = jnp.cumsum(cmask.astype(jnp.int32)) - 1
                 nv = posn[-1] + 1
-                pos = jnp.where(cmask, posn, 3 * Bk)  # invalid -> dropped
+                pos = jnp.where(cmask, posn, nb * Bk)  # invalid -> dropped
                 nv_fit = jnp.minimum(nv, C - s)
                 dropped = dropped + (nv - nv_fit)
 
-                src = jnp.zeros((3 * Bk,), jnp.int32).at[pos].set(
-                    jnp.arange(3 * Bk, dtype=jnp.int32), mode="drop")
-                live = jnp.arange(3 * Bk) < nv_fit
+                src = jnp.zeros((nb * Bk,), jnp.int32).at[pos].set(
+                    jnp.arange(nb * Bk, dtype=jnp.int32), mode="drop")
+                live = jnp.arange(nb * Bk) < nv_fit
                 qn = {}
-                for f in ("p", "d", "intensity", "tint", "depth",
-                          "sample_id"):
+                for f in fields:
                     a = jnp.concatenate([c[f] for c in ch])
                     comp = a[src]
                     if f == "intensity":
                         comp = jnp.where(live, comp, 0.0)
                     qn[f] = jax.lax.dynamic_update_slice_in_dim(
                         q[f], comp.astype(q[f].dtype), s, axis=0)
+                # parent lanes don't trace — count only true ray queries
+                tq = take if not mixed else jnp.sum(
+                    valid & (lanes["kind"] != 2), dtype=jnp.int32)
                 return (qn, s + nv_fit, acc, it + 1, dropped,
-                        queries + take)
+                        queries + tq)
             return body
 
         def make_cond(thresh):
             def cond(carry):
                 q, count, acc, it, dropped, queries = carry
                 c = count if axis is None else jax.lax.pmax(count, axis)
-                return (c > thresh) & (it < 100000)
+                return (c > thresh) & (it < DRAIN_TRIP_CAP)
             return cond
 
         # `it` advances identically on every device (stays replicated);

@@ -744,12 +744,22 @@ class Tracer:
 
     # -- core query --------------------------------------------------------
 
-    def _single_chunks(self, matter_only):
-        """Static chunk partition of candidate rows (single-leaf objects)."""
+    def _single_chunks(self, matter_only, R=None):
+        """Static chunk partition of candidate rows (single-leaf objects).
+
+        With R (the ray-batch width, static under jit) the chunk length is
+        shrunk so the [R, c, 3] local-frame intermediates of _quads stay
+        bounded (~32M elements) for ANY rays x leaves product — scenes like
+        many_spheres (~1.4k leaves) hit the tracer with R up to B*S NEE
+        shadow rays and would otherwise materialize GB-scale temps
+        (RESOURCE_EXHAUSTED on a real chip)."""
         rows = self.single_rows
         if matter_only and len(rows):
             rows = rows[~self.tab.is_light[rows]]
-        return [rows[i:i + CHUNK] for i in range(0, len(rows), CHUNK)]
+        c = CHUNK
+        if R:
+            c = int(min(CHUNK, max(64, (1 << 23) // max(R, 1))))
+        return [rows[i:i + c] for i in range(0, len(rows), c)]
 
     def _chunk_candidates(self, tabs, rows, p, d):
         """Policy-root candidates [R, c] for one chunk of single rows."""
@@ -758,10 +768,16 @@ class Tracer:
         a = self._policy(self.tab.kind[rows], t0u, t1u, s, q, ok)
         return jnp.where(self._env_gate_rows(rows, p, d), a, INF)
 
-    def _query(self, p, d, matter_only, want2, rng_rough):
+    def _query(self, p, d, matter_only, want2, rng_rough,
+               lane_matter=None):
         """Top-1/2 hit over the whole scene, single pass.  Returns
         (t [R,2], nor [R,2,3], oid [R,2], sign [R,2]) (second column
-        dummy when want2=False)."""
+        dummy when want2=False).
+
+        lane_matter: optional [R] bool — lanes marked True ignore light
+        candidates (per-lane matter-only, the mixed normal/path wavefront
+        of the device drain; reference path rays trace the matter compound
+        only, src/scene.c:607)."""
         dt = self.dtype
         p = jnp.asarray(p, dt)
         d = jnp.asarray(d, dt)
@@ -772,8 +788,11 @@ class Tracer:
         # 1. single-leaf objects, chunked running top-k merge
         best_t = jnp.full((R, kw), INF, dt)
         best_row = jnp.zeros((R, kw), jnp.int32)
-        for rows in self._single_chunks(matter_only):
+        for rows in self._single_chunks(matter_only, R):
             a = self._chunk_candidates(tabs, rows, p, d)
+            if lane_matter is not None and self.tab.is_light[rows].any():
+                lmask = jnp.asarray(self.tab.is_light[rows])
+                a = jnp.where(lane_matter[:, None] & lmask[None, :], INF, a)
             if want2:
                 tkc, ikc = _top2_cols(a)
             else:
@@ -806,6 +825,8 @@ class Tracer:
             if matter_only and comp.is_light:
                 continue
             a, leaf_loc, row = self._hit_composite(comp, tabs, p, d)
+            if lane_matter is not None and comp.is_light:
+                a = jnp.where(lane_matter, INF, a)
             k = len(cols_t)
             cols_t.append(a)
             cols_row.append(row)
@@ -828,6 +849,8 @@ class Tracer:
             if matter_only and light:
                 continue
             a, nor = self._hit_sdf_leaf(lf, env_c, env_r, p, d)
+            if lane_matter is not None and light:
+                a = jnp.where(lane_matter, INF, a)
             k = len(cols_t)
             cols_t.append(a)
             cols_row.append(jnp.full((R,), -1, jnp.int32))
@@ -962,6 +985,18 @@ class Tracer:
         compound_s_ray_trans_hit(scene->matter, ...))."""
         return self._trans_from_pair(self.nearest2(p, d, matter_only=True))
 
+    def trans_hit_mixed(self, p, d, path_mask):
+        """Per-lane transition hit: lanes with path_mask=True trace matter
+        only (reference src/scene.c:607), the rest trace light+matter
+        (src/scene.c:362-382) — ONE traversal for a mixed normal/path
+        wavefront batch (light candidates are lane-masked before the
+        top-2 merge, so the expensive root math is shared)."""
+        t12, nor, oid, sign = self._query(p, d, False, True, True,
+                                          lane_matter=path_mask)
+        return self._trans_from_pair(
+            (t12[:, 0], nor[:, 0, :], oid[:, 0], sign[:, 0],
+             t12[:, 1], nor[:, 1, :], oid[:, 1], sign[:, 1]))
+
     # -- shadow queries ------------------------------------------------------
 
     def _pallas_ok(self):
@@ -1007,7 +1042,7 @@ class Tracer:
             return blocked
         tabs = self._assemble()
         blocked = jnp.zeros((R,), bool)
-        for rows in self._single_chunks(True):
+        for rows in self._single_chunks(True, R):
             a = self._chunk_candidates(tabs, rows, p, d)
             blocked = blocked | jnp.any(a <= limit[:, None], axis=1)
         for comp in self.composites:

@@ -89,6 +89,7 @@ def render_one(name):
 
 
 def main():
+    import time
     only = sys.argv[1:] or list(CORPUS)
     if os.path.exists(OUT):
         with open(OUT) as f:
@@ -97,10 +98,20 @@ def main():
         golden = {}
     for name in only:
         print(f"{name}...", flush=True)
-        golden[name] = render_one(name)
-        print(f"  {golden[name]}", flush=True)
-    with open(OUT, "w") as f:
-        json.dump(golden, f, indent=1, sort_keys=True)
+        t0 = time.time()
+        try:
+            golden[name] = render_one(name)
+            golden[name]["seconds"] = round(time.time() - t0, 1)
+            golden.pop(f"{name}__skipped", None)
+        except Exception as e:
+            # record WHY a scene is absent (round-2 verdict: silent gaps)
+            golden[f"{name}__skipped"] = \
+                f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"
+        # write incrementally: a timeout keeps the finished scenes
+        with open(OUT, "w") as f:
+            json.dump(golden, f, indent=1, sort_keys=True)
+        print(f"  {golden.get(name, golden.get(name + '__skipped'))}",
+              flush=True)
     print(f"wrote {OUT}")
 
 

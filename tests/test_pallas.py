@@ -64,12 +64,28 @@ def test_shadow_kernel_matches_xla(scene):
     assert agree >= 0.998, f"{scene}: agreement {agree}"
 
 
-@pytest.mark.parametrize("scene", ["wine_glass.acn", "diamond.acn"])
+def test_nee_kernel_unsupported_scene_falls_back():
+    """diamond.acn's 56-plane CSG exceeds MAX_COMP_COLS: the NEE kernel
+    must decline (integrator._nee then runs the XLA path, which the
+    integrator oracle tests cover)."""
+    from actinon_tpu.render.integrator import Integrator
+
+    ir = _load("diamond.acn")
+    ir.cfg.direct_samples = 6
+    integ = Integrator(Tracer(ir, dtype=np.float32), batch=256)
+    assert pk.build_nee_kernel(integ, interpret=True) is None
+
+
+@pytest.mark.parametrize("scene", ["wine_glass.acn"])
 def test_nee_kernel_matches_xla(scene):
     """The fused NEE kernel reproduces integrator._nee (both f32)."""
     from actinon_tpu.render.integrator import Integrator
 
     ir = _load(scene)
+    # cap the per-light sample count: interpret-mode Pallas statically
+    # unrolls direct_cap draws, and the scene's own config (wine_glass:
+    # 200) would take >10 min — the kernel math is identical at 6
+    ir.cfg.direct_samples = 6
     tr = Tracer(ir, dtype=np.float32)
     integ = Integrator(tr, batch=256)
     kfn = pk.build_nee_kernel(integ, interpret=True)
