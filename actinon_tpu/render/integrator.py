@@ -689,26 +689,61 @@ class Integrator:
         motion needs no term: cap sampling z = 1 - u*cyl(theta) already
         reparameterizes samples to move with the cap.
 
-        Covered: single-leaf sphere occluders against sphere-exact
-        lights.  Composite/SDF occluder silhouettes remain interior-only
-        (documented limitation)."""
+        Covered occluders, against sphere-exact lights:
+          * single-leaf spheres — silhouette circle (analytic frame),
+          * single-leaf planes (half-spaces) — the discontinuity curve is
+            the plane∩light-sphere rim circle (the grazing great circle
+            carries no jump: at it the plane hit runs past the light),
+          * sphere leaves inside CSG composites — the leaf silhouette
+            circle, nodes masked to where the COMPOSITE's blocking
+            actually jumps (predicate test on both sides).
+        SDF occluder silhouettes remain interior-only (documented
+        limitation), and overlapping-occluder edges use the
+        single-occluder approximation (a node's jump is evaluated against
+        its own occluder only)."""
         dt = self.dtype
         tr = self.tr
         tab = tr.tab
         sg = jax.lax.stop_gradient
         B = pos.shape[0]
         out = jnp.zeros((B, 3), dt)
-        occ = [i for i, row in enumerate(np.asarray(tab.sph_rows))
-               if tab.single[row] and not tab.is_light[row]]
-        if not occ:
+
+        # occluder inventory: ("sphere", c, r, comp|None) with traced
+        # params, or ("plane", n, k, None)
+        occs = []
+        sph_c = tr._t("sph_c", tab.sph_c).astype(dt) \
+            if len(tab.sph_rows) else None
+        sph_r = tr._t("sph_r", tab.sph_r).astype(dt) \
+            if len(tab.sph_rows) else None
+        for i, row in enumerate(np.asarray(tab.sph_rows)):
+            if tab.single[row] and not tab.is_light[row]:
+                occs.append(("sphere", sph_c[i], sph_r[i], None))
+        for row, key, fam in tab.comp_keys:
+            if fam != sir.SPHERE or tab.is_light[row]:
+                continue
+            comp = next(cp for cp in tr.composites
+                        if cp.oid == tab.oid[row])
+            c = jnp.asarray(tr._t(key + "c", -tab.m0[row])).astype(dt)
+            r = jnp.asarray(tr._t(key + "r",
+                                  np.sqrt(-tab.rr[row]))).astype(dt)
+            occs.append(("sphere", c, r, comp))
+        pla_n = tr._t("pla_n", tab.pla_n).astype(dt) \
+            if len(tab.pla_rows) else None
+        pla_k = tr._t("pla_k", tab.pla_k).astype(dt) \
+            if len(tab.pla_rows) else None
+        for i, row in enumerate(np.asarray(tab.pla_rows)):
+            if tab.single[row] and not tab.is_light[row]:
+                occs.append(("plane", pla_n[i], pla_k[i], None))
+        if not occs:
             return out
-        sph_c = tr._t("sph_c", tab.sph_c).astype(dt)
-        sph_r = tr._t("sph_r", tab.sph_r).astype(dt)
+
         phis = (np.arange(K) + 0.5) * (2.0 * np.pi / K)
         cphi = jnp.asarray(np.cos(phis), dt)
         sphi = jnp.asarray(np.sin(phis), dt)
         s_sd, s_ti = sg(surf_d), sg(theta_i)
         s_pos = sg(pos)
+        tilt = dt.type(1e-3)    # predicate probe angle off the curve
+
         for li in range(self.n_lights):
             if not self.l_sphere_exact[li]:
                 continue
@@ -724,51 +759,123 @@ class Integrator:
                 ldist2 > r2,
                 safe_sqrt(1.0 - r2 / jnp.where(ldist2 > 0, ldist2, 1.0)),
                 -1.0)
-            for i in occ:
-                c = sph_c[i]
-                r = sph_r[i]
-                rel = c - pos                       # traced
-                d2 = _dot(rel, rel)
-                dist = safe_sqrt(d2)
-                ok0 = (dist > r) & (r > 0) & gate
-                sin_a = jnp.clip(r / jnp.where(dist > 0, dist, 1.0),
-                                 0.0, 1.0)
-                cos_a = safe_sqrt(1.0 - sin_a * sin_a)
-                u = _norm3(rel)
-                fr = self._conz_t(u)                # columns e1, e2, u
-                e1, e2 = fr[:, :, 0], fr[:, :, 1]
-                circ = (cphi[None, :, None] * e1[:, None, :]
-                        + sphi[None, :, None] * e2[:, None, :])
-                w_dir = (cos_a[:, None, None] * u[:, None, :]
-                         + sin_a[:, None, None] * circ)   # [B,K,3] traced
-                wd = sg(w_dir)
+
+            def light_a(wd):
+                """Light-sphere first-hit along detached dirs [B,K,3]."""
+                return self._sphere_hit(sg(lpos), sg(lr),
+                                        s_pos[:, None, :], wd)
+
+            for okind, oa, ob, comp in occs:
+                if okind == "sphere":
+                    c, r = oa, ob
+                    rel = c - pos                       # traced
+                    d2 = _dot(rel, rel)
+                    dist = safe_sqrt(d2)
+                    ok0 = (dist > r) & (r > 0) & gate
+                    sin_a = jnp.clip(r / jnp.where(dist > 0, dist, 1.0),
+                                     0.0, 1.0)
+                    cos_a = safe_sqrt(1.0 - sin_a * sin_a)
+                    u = _norm3(rel)
+                    fr = self._conz_t(u)                # cols e1, e2, u
+                    e1, e2 = fr[:, :, 0], fr[:, :, 1]
+                    circ = (cphi[None, :, None] * e1[:, None, :]
+                            + sphi[None, :, None] * e2[:, None, :])
+                    w_dir = (cos_a[:, None, None] * u[:, None, :]
+                             + sin_a[:, None, None] * circ)  # traced
+                else:
+                    nvec, koff = oa, ob
+                    nn = safe_sqrt(_dot(nvec[None, :], nvec[None, :]))[0]
+                    nh = nvec / jnp.where(nn > 0, nn, 1.0)
+                    s_l = (jnp.sum(nh * lpos) + koff
+                           / jnp.where(nn > 0, nn, 1.0))
+                    rc2 = lr * lr - s_l * s_l
+                    ok0 = (rc2 > 0) & gate              # plane cuts light
+                    rc = safe_sqrt(jnp.maximum(rc2, 0.0))
+                    q0 = lpos - s_l * nh                # rim center (3)
+                    frp = self._conz_t(nh[None, :])[0]  # cols e1,e2,nh
+                    e1p, e2p = frp[:, 0], frp[:, 1]
+                    xk = (q0[None, :] + rc * (cphi[:, None] * e1p[None, :]
+                                              + sphi[:, None]
+                                              * e2p[None, :]))   # [K,3]
+                    w_dir = _norm3(xk[None, :, :] - pos[:, None, :])
+
+                wd = sg(w_dir)                          # [B,K,3]
+                # curve tangent / speed / in-sphere normal from the node
+                # ring (central differences; exact enough at K>=16)
+                wp = jnp.roll(wd, -1, axis=1)
+                wm = jnp.roll(wd, 1, axis=1)
+                dwd = 0.5 * (wp - wm)                   # ~ dw/dphi * dphi
+                speed = jnp.sqrt(jnp.sum(dwd * dwd, -1)) \
+                    * (K / (2.0 * np.pi))
+                th = _norm3(dwd)
+                mh = _norm3(jnp.cross(wd, th))
+
+                def blocked(w):
+                    """This occluder blocks the light along detached dirs
+                    w [B,K,3] (single-occluder predicate)."""
+                    a = light_a(w)
+                    a_inf = jnp.where(jnp.isfinite(a), a, INF)
+                    if okind == "plane":
+                        sp = (jnp.sum(sg(nvec)[None, :] * s_pos, -1)
+                              + sg(koff))[:, None]
+                        den = jnp.einsum("bki,i->bk", w, sg(nvec))
+                        t_pl = -sp / jnp.where(den != 0, den, 1.0)
+                        return (den != 0) & (t_pl > 0) & (t_pl < a_inf)
+                    if comp is None:
+                        t_oc = self._sphere_hit(sg(c), sg(r),
+                                                s_pos[:, None, :], w)
+                        return jnp.isfinite(t_oc) & (t_oc < a_inf)
+                    # composite: full detached boundary query
+                    saved_ovr, saved_diff = tr.ovr, tr.diff
+                    tr.ovr, tr.diff = {}, False
+                    try:
+                        flat = w.reshape(B * K, 3)
+                        fp = jnp.broadcast_to(s_pos[:, None, :],
+                                              (B, K, 3)).reshape(B * K, 3)
+                        blk = tr._shadow_composite(
+                            comp, tr._assemble(), fp, flat,
+                            a_inf.reshape(B * K))
+                    finally:
+                        tr.ovr, tr.diff = saved_ovr, saved_diff
+                    return blk.reshape(B, K)
+
+                # orient mh toward the UNBLOCKED side, then demand a
+                # genuine jump across the node (blocked inside, clear
+                # outside)
+                w_hi = _norm3(wd + tilt * mh)
+                w_lo = _norm3(wd - tilt * mh)
+                b_hi = blocked(w_hi)
+                b_lo = blocked(w_lo)
+                flip = b_hi & ~b_lo
+                mh = jnp.where(flip[..., None], -mh, mh)
+                jump = b_hi ^ b_lo
+
                 w_cos = jnp.einsum("bki,bi->bk", wd, s_sd)
                 g_on = jnp.where(
                     (on_b > 0)[:, None],
                     self._oren_nayar_b(w_cos, s_ti, sg(on_a), sg(on_b),
                                        wd, s_sd, sg(ray_prj)), w_cos)
-                a = self._sphere_hit(sg(lpos), sg(lr),
-                                     s_pos[:, None, :], wd)   # [B,K]
+                a = light_a(wd)
                 fin = jnp.isfinite(a)
                 in_cap = jnp.einsum("bki,bi->bk", wd, sg(fov_d)) \
                     >= sg(cos_rs)[:, None]
-                t_sil = sg(dist * cos_a)
-                front = t_sil[:, None] < jnp.where(fin, a, INF)
                 a_safe = jnp.where(fin, a, 0.0)
                 hitp = s_pos[:, None, :] + wd * a_safe[..., None]
                 dsq = jnp.sum((hitp - sg(lpos)) ** 2, -1)
                 loc = jnp.where(dsq > 0,
                                 sg(lrad) / jnp.where(dsq > 0, dsq, 1.0),
                                 F3_MAG)
-                g = jnp.where(ok0[:, None] & fin & in_cap & front
+                g = jnp.where(ok0[:, None] & fin & in_cap & jump
                               & (w_cos > 0),
                               loc * g_on * sg(di)[:, None], 0.0)
                 g = sg(g)
-                nhat = sg(cos_a[:, None, None] * circ
-                          - sin_a[:, None, None] * u[:, None, :])
+                # Reynolds boundary term: each node contributes
+                # -(2/K) g * speed * (mh . w_traced); the VALUE is zero
+                # (mh is tangent to the direction sphere at w) while the
+                # gradient is the edge integrand
                 x = -(2.0 / K) * jnp.sum(
-                    g * sg(sin_a)[:, None]
-                    * jnp.einsum("bki,bki->bk", nhat, w_dir), axis=1)
+                    g * sg(speed)
+                    * jnp.einsum("bki,bki->bk", sg(mh), w_dir), axis=1)
                 xr = sg(lcol)[None, :] * x[:, None]
                 out = out + (xr - sg(xr))
         return out
@@ -1077,9 +1184,15 @@ class Integrator:
         count0 = pv(count0)
         q0 = {k: pv(v) for k, v in q0.items()}
 
+        # each cascade stage embeds a full scene-traversal body in the
+        # module, so stage count trades tail-trip efficiency against XLA
+        # compile time; composite-heavy scenes get a two-stage cascade
         stages = [B]
-        while stages[-1] > 1024:
-            stages.append(max(stages[-1] // 8, 512))
+        if len(self.tr.composites) <= 32:
+            while stages[-1] > 1024:
+                stages.append(max(stages[-1] // 8, 512))
+        elif B > 1024:
+            stages.append(max(B // 32, 512))
 
         mixed = self.path_cap > 0
         nb = self._n_child_blocks

@@ -132,10 +132,13 @@ def _sdf_eval(kind, param, pos):
 
 
 def _take_cols(a, idx):
-    """a[r, idx[r, k]] for small static K — unrolled compare+select instead
-    of take_along_axis (TPU gathers run at ~4 GB/s; K fused selects at
-    full VPU bandwidth)."""
+    """a[r, idx[r, k]] — unrolled compare+select for small static K
+    (TPU gathers run at ~4 GB/s; K fused selects at full VPU bandwidth);
+    one take_along_axis for wide K (composite-heavy scenes), where the
+    unroll would bloat the HLO module and XLA compile time."""
     K = a.shape[1]
+    if K > 32:
+        return jnp.take_along_axis(a, idx, axis=1)
     out = jnp.zeros(idx.shape, a.dtype)
     for k in range(K):
         out = jnp.where(idx == k, a[:, k:k + 1], out)
@@ -320,6 +323,22 @@ class Tracer:
         self.composites = composites
         self.sdf_singles = sdf_singles
         self.n_sdf = len(sdf_singles)
+
+        # group all-analytic composites by tree shape: members of a group
+        # (e.g. the 10 identical lamps of hanging_lamps_in_row, reference
+        # src_acn/hanging_lamps_in_row) evaluate as ONE batched
+        # crossing-parity walk over a [R, G, NC] tensor instead of G
+        # sequential per-composite blocks — compile size and launch count
+        # drop by the group factor (hanging_lamp: 117 composites -> ~15
+        # groups).  SDF-containing composites stay on the solo path.
+        groups: Dict = {}
+        self.comp_solo = []
+        for comp in composites:
+            if any(lf is not None for lf in comp.sdf_leaves):
+                self.comp_solo.append(comp)
+                continue
+            groups.setdefault(repr(comp.tree), []).append(comp)
+        self.comp_groups = list(groups.values())
 
         # static chunk partition of the single-leaf candidate rows
         self.single_rows = np.flatnonzero(tab.single).astype(np.int32)
@@ -624,21 +643,19 @@ class Tracer:
     # -- composite objects -----------------------------------------------
 
     @staticmethod
-    def _tree_eval_bits(tree, words, nbits=32):
-        """Static unroll of the CSG tree program over bit-packed per-leaf
-        inside parities (words: list of [R, NC] uint32)."""
+    def _tree_eval_mask(tree, leaf_vals):
+        """Static unroll of the CSG tree program; leaf_vals(li) yields the
+        bool inside-mask of local leaf li."""
         if tree[0] == "leaf":
-            li = tree[1]
-            w = words[li // nbits]
-            return ((w >> np.uint32(li % nbits)) & np.uint32(1)) != 0
+            return leaf_vals(tree[1])
         if tree[0] == "and":
-            return Tracer._tree_eval_bits(tree[1], words, nbits) \
-                & Tracer._tree_eval_bits(tree[2], words, nbits)
+            return Tracer._tree_eval_mask(tree[1], leaf_vals) \
+                & Tracer._tree_eval_mask(tree[2], leaf_vals)
         if tree[0] == "or":
-            return Tracer._tree_eval_bits(tree[1], words, nbits) \
-                | Tracer._tree_eval_bits(tree[2], words, nbits)
+            return Tracer._tree_eval_mask(tree[1], leaf_vals) \
+                | Tracer._tree_eval_mask(tree[2], leaf_vals)
         if tree[0] == "not":
-            return ~Tracer._tree_eval_bits(tree[1], words, nbits)
+            return ~Tracer._tree_eval_mask(tree[1], leaf_vals)
         raise ValueError(tree)
 
     def _composite_crossings(self, comp: _Composite, tabs, p, d):
@@ -673,47 +690,14 @@ class Tracer:
         return cross, np.asarray(leaf_of_col, np.int32), inside
 
     def _walk(self, comp: _Composite, cross, leaf_of_col, inside):
-        """Bit-packed crossing-parity walk: the composite's inside value is
-        evaluated just before and just after every candidate crossing; the
-        nearest flip is the boundary.  Returns (t_boundary [R] eps-backed,
-        local leaf id [R])."""
-        R, NC = cross.shape
-        Lc = len(comp.rows)
-        nw = (Lc + 31) // 32
-        valid = jnp.isfinite(cross)
-
-        # origin-side bits packed into words [R]
-        bits0 = [jnp.zeros((R,), jnp.uint32) for _ in range(nw)]
-        for li in range(Lc):
-            b = inside[li].astype(jnp.uint32) << np.uint32(li % 32)
-            bits0[li // 32] = bits0[li // 32] | b
-
-        # parity words [R, NC]: bit li flips once per crossing of leaf li
-        # at t < t_j (before) / t <= t_j (after)
-        pa = [jnp.zeros((R, NC), jnp.uint32) for _ in range(nw)]
-        pb = [jnp.zeros((R, NC), jnp.uint32) for _ in range(nw)]
-        for c in range(NC):
-            li = int(leaf_of_col[c])
-            tc = cross[:, c:c + 1]
-            vc = valid[:, c:c + 1]
-            ba = (((tc <= cross) & vc).astype(jnp.uint32)
-                  << np.uint32(li % 32))
-            bb = (((tc < cross) & vc).astype(jnp.uint32)
-                  << np.uint32(li % 32))
-            pa[li // 32] = pa[li // 32] ^ ba
-            pb[li // 32] = pb[li // 32] ^ bb
-
-        wa = [bits0[w][:, None] ^ pa[w] for w in range(nw)]
-        wb = [bits0[w][:, None] ^ pb[w] for w in range(nw)]
-        val_a = self._tree_eval_bits(comp.tree, wa)
-        val_b = self._tree_eval_bits(comp.tree, wb)
-        flip = (val_a != val_b) & valid                  # [R, NC]
-
-        tcand = jnp.where(flip, cross, INF)
-        j = jnp.argmin(tcand, axis=1)
-        hit_t = jnp.min(tcand, axis=1)
-        leaf_loc = jnp.asarray(leaf_of_col)[j]
-        return hit_t, leaf_loc
+        """Crossing-parity walk of ONE composite: the G=1 case of
+        _group_walk.  Returns (t_boundary [R] raw, local leaf id [R])."""
+        inside0 = jnp.stack([inside[li] for li in range(len(comp.rows))],
+                            axis=-1)
+        hit_t, leaf_loc = self._group_walk(
+            comp.tree, cross[:, None, :], leaf_of_col,
+            inside0[:, None, :])
+        return hit_t[:, 0], leaf_loc[:, 0]
 
     def _hit_composite(self, comp: _Composite, tabs, p, d):
         """Boundary hit of one composite.  Returns (t [R] eps-backed,
@@ -741,6 +725,168 @@ class Tracer:
             blocked = blocked & self._env_gate_one(comp.env_c, comp.env_r,
                                                    p, d)
         return blocked
+
+    # -- batched composite groups ------------------------------------------
+
+    def _group_walk_poly(self, tree, cross, leaf_of_col, root_of_col,
+                         Aq, Bq, Cq):
+        """Polynomial-sign crossing walk, batched over a composite group
+        axis: each leaf's inside-ness at a candidate offset t is the SIGN
+        of its own quadratic side(t) = A t^2 + B t + C — evaluated
+        directly, no crossing-parity bookkeeping at all.  Just-before /
+        just-after at the candidate use the derivative s' = 2At + B
+        (near-zero s resolves by crossing direction), and the candidate's
+        OWN leaf column uses the exact analytic rule (root 0 of a convex
+        leaf enters, root 1 exits; A<0 swaps; linear leaves follow
+        sign(B)) so fp noise at the root cannot misclassify it.
+
+        cross [R, G, NC] forward crossings (INF-padded), leaf_of_col /
+        root_of_col static [NC], Aq/Bq/Cq [R, G, Lc] the leaves' root
+        polynomials along each ray.  Returns (hit_t [R, G] raw,
+        leaf_loc [R, G])."""
+        R, G, NC = cross.shape
+        Lc = Aq.shape[-1]
+        dt = self.dtype
+        valid = jnp.isfinite(cross)
+        lcol = np.asarray(leaf_of_col, np.int32)
+        own = np.zeros((NC, Lc), bool)
+        own[np.arange(NC), lcol] = True
+        own_j = jnp.asarray(own)
+        root_is0 = jnp.asarray(np.asarray(root_of_col) == 0)   # [NC]
+        # chunk rays so the [Rt, G, NC, Lc] sign tensors stay bounded
+        Rt = int(max(128, min(R, (1 << 26) // max(G * NC * Lc, 1))))
+        flips = []
+        for st in range(0, R, Rt):
+            vl = valid[st:st + Rt]
+            T = jnp.where(vl, cross[st:st + Rt], 0.0)[..., None]
+            A = Aq[st:st + Rt][:, :, None, :]                  # [Rt,G,1,L]
+            B = Bq[st:st + Rt][:, :, None, :]
+            C = Cq[st:st + Rt][:, :, None, :]
+            s = (A * T + B) * T + C                            # [Rt,G,NC,L]
+            sp = 2.0 * A * T + B
+            # relative zero-shell: coincident surfaces land near s = 0
+            # with fp noise; resolve their side by crossing direction
+            mag = jnp.abs(A) * T * T + jnp.abs(B * T) + jnp.abs(C)
+            near0 = jnp.abs(s) <= dt.type(1e-5) * mag
+            neg = (s < 0) & ~near0
+            before = neg | (near0 & (sp > 0))
+            after = neg | (near0 & (sp < 0))
+            # exact rule for the candidate's own leaf
+            A_col = jnp.take_along_axis(
+                Aq[st:st + Rt], jnp.asarray(lcol)[None, None, :], axis=2)
+            B_col = jnp.take_along_axis(
+                Bq[st:st + Rt], jnp.asarray(lcol)[None, None, :], axis=2)
+            after_own = jnp.where(
+                A_col > 0, root_is0[None, None, :],
+                jnp.where(A_col < 0, ~root_is0[None, None, :], B_col < 0))
+            before = jnp.where(own_j[None, None], ~after_own[..., None],
+                               before)
+            after = jnp.where(own_j[None, None], after_own[..., None],
+                              after)
+            w2 = jnp.stack([before, after], axis=1)        # [Rt,2,G,NC,L]
+            v2 = self._tree_eval_mask(tree, lambda li: w2[..., li])
+            flips.append((v2[:, 0] != v2[:, 1]) & vl)
+        flip = flips[0] if len(flips) == 1 \
+            else jnp.concatenate(flips, axis=0)            # [R, G, NC]
+        tcand = jnp.where(flip, cross, INF)
+        j = jnp.argmin(tcand, axis=-1)
+        hit_t = jnp.min(tcand, axis=-1)
+        leaf_loc = jnp.asarray(lcol)[j]
+        return hit_t, leaf_loc
+
+    def _group_walk(self, tree, cross, leaf_of_col, inside0):
+        """Pairwise-order crossing-parity walk, batched over a composite
+        group axis (the general form: accepts crossings from ANY leaf
+        supply, including marched SDF leaves — used by the solo composite
+        path; all-analytic groups use _group_walk_poly).  cross [R, G,
+        NC] forward crossings (INF-padded), leaf_of_col static [NC],
+        inside0 [R, G, Lc] origin inside-ness.
+
+        Per-leaf parities at every candidate t_j come from ONE
+        pairwise-order contraction count[r,g,j,l] = sum_c
+        [t_c {<=,<} t_j] . onehot[c,l] (matmul-shaped — MXU work on TPU,
+        ~15 HLO ops per ray chunk regardless of leaf count, which keeps
+        XLA compile time flat where per-column emission was O(NC^2) and
+        cumsum/sort formulations were gather-heavy).  Ties of equal t
+        flip jointly via the <=/< pair.  Returns (hit_t [R, G] raw,
+        leaf_loc [R, G])."""
+        R, G, NC = cross.shape
+        Lc = inside0.shape[-1]
+        dt = self.dtype
+        oh_np = np.zeros((NC, Lc), np.float64)
+        oh_np[np.arange(NC), np.asarray(leaf_of_col)] = 1.0
+        oh = jnp.asarray(oh_np, dt)
+        valid = jnp.isfinite(cross)
+        hi = jax.lax.Precision.HIGHEST
+        # chunk rays so the [Rt, G, NC, NC] order tensors stay bounded
+        Rt = int(max(128, min(R, (1 << 24) // max(G * NC * NC, 1))))
+        flips = []
+        for s in range(0, R, Rt):
+            tc = cross[s:s + Rt]
+            vl = valid[s:s + Rt]
+            ba = ((tc[..., None, :] <= tc[..., :, None])
+                  & vl[..., None, :]).astype(dt)        # [Rt, G, j, c]
+            bb = ((tc[..., None, :] < tc[..., :, None])
+                  & vl[..., None, :]).astype(dt)
+            # stack the <= / < variants on one axis: the tree program
+            # evaluates once over both (halves the emitted op count —
+            # XLA compile time on many-composite scenes is op-bound)
+            b2 = jnp.stack([ba, bb], axis=1)            # [Rt, 2, G, j, c]
+            c2 = jnp.einsum("rvgjc,cl->rvgjl", b2, oh, precision=hi)
+            p2 = (c2.astype(jnp.int32) & 1) != 0        # [Rt,2,G,NC,Lc]
+            ins = inside0[s:s + Rt][:, None, :, None, :]
+            w2 = ins ^ p2
+            v2 = self._tree_eval_mask(tree, lambda li: w2[..., li])
+            flips.append((v2[:, 0] != v2[:, 1]) & vl)
+        flip = flips[0] if len(flips) == 1 \
+            else jnp.concatenate(flips, axis=0)         # [R, G, NC]
+        tcand = jnp.where(flip, cross, INF)
+        j = jnp.argmin(tcand, axis=-1)
+        hit_t = jnp.min(tcand, axis=-1)
+        leaf_loc = jnp.asarray(leaf_of_col, jnp.int32)[j]
+        return hit_t, leaf_loc
+
+    def _group_hit(self, members, tabs, p, d):
+        """Boundary hits of one same-tree composite group.  Returns
+        (a [R, G] eps-backed env-gated, row [R, G] global unified rows)."""
+        dt = self.dtype
+        R = p.shape[0]
+        G = len(members)
+        comp0 = members[0]
+        Lc = len(comp0.rows)
+        arows = np.asarray([c.rows for c in members], np.int32)   # [G, L]
+        A, Bq, Cq, _, _ = self._quads(tabs, arows.reshape(-1), p, d)
+        t0u, t1u, _, _, _, _ = self._roots(A, Bq, Cq)
+        t0 = t0u.reshape(R, G, Lc)
+        t1 = t1u.reshape(R, G, Lc)
+        cross = jnp.concatenate([t0, t1], axis=-1)     # [R, G, 2L]
+        cross = jnp.where(cross > 0, cross, INF)
+        leaf_of_col = np.concatenate([np.arange(Lc), np.arange(Lc)])
+        root_of_col = np.concatenate([np.zeros(Lc, np.int32),
+                                      np.ones(Lc, np.int32)])
+        hit_t, leaf_loc = self._group_walk_poly(
+            comp0.tree, cross, leaf_of_col, root_of_col,
+            A.reshape(R, G, Lc), Bq.reshape(R, G, Lc),
+            Cq.reshape(R, G, Lc))
+        # envelope gates [R, G] (envelope_s_ray_hits, reference
+        # src/objects.c:90-96)
+        env_c = np.stack([c.env_c if c.env_c is not None else np.zeros(3)
+                          for c in members])
+        env_r = np.asarray([c.env_r if c.env_c is not None else -1.0
+                            for c in members])
+        ec = jnp.asarray(np.asarray(env_c, dt))[None]  # [1, G, 3]
+        er = jnp.asarray(np.asarray(env_r, dt))[None]
+        pp = p[:, None, :] - ec
+        s = jnp.sum(pp * d[:, None, :], -1)
+        q = jnp.sum(pp * pp, -1) - er * er
+        disc = s * s - q
+        gate = (er <= 0) | ((disc >= 0) & ((s < 0) | (q < 0)))
+        hit_t = jnp.where(gate, hit_t, INF)
+        a = jnp.where(jnp.isfinite(hit_t), hit_t - self.eps, INF)
+        rows_b = jnp.broadcast_to(jnp.asarray(arows)[None], (R, G, Lc))
+        row = jnp.take_along_axis(rows_b, leaf_loc[..., None],
+                                  axis=2)[..., 0]
+        return a, row
 
     # -- core query --------------------------------------------------------
 
@@ -821,7 +967,19 @@ class Tracer:
         oid_special = []  # (col, const oid) for SDF-surface winners
         nor_ovr = []      # (col, [R,3]) explicit normals (SDF surfaces)
 
-        for comp in self.composites:
+        for members in self.comp_groups:
+            mf = [c for c in members if not (matter_only and c.is_light)]
+            if not mf:
+                continue
+            a_g, row_g = self._group_hit(mf, tabs, p, d)
+            for gi, comp in enumerate(mf):
+                a = a_g[:, gi]
+                if lane_matter is not None and comp.is_light:
+                    a = jnp.where(lane_matter, INF, a)
+                cols_t.append(a)
+                cols_row.append(row_g[:, gi])
+
+        for comp in self.comp_solo:
             if matter_only and comp.is_light:
                 continue
             a, leaf_loc, row = self._hit_composite(comp, tabs, p, d)
@@ -1045,7 +1203,13 @@ class Tracer:
         for rows in self._single_chunks(True, R):
             a = self._chunk_candidates(tabs, rows, p, d)
             blocked = blocked | jnp.any(a <= limit[:, None], axis=1)
-        for comp in self.composites:
+        for members in self.comp_groups:
+            mf = [c for c in members if not c.is_light]
+            if not mf:
+                continue
+            a_g, _ = self._group_hit(mf, tabs, p, d)
+            blocked = blocked | jnp.any(a_g <= limit[:, None], axis=1)
+        for comp in self.comp_solo:
             if comp.is_light:
                 continue
             blocked = blocked | self._shadow_composite(comp, tabs, p, d,

@@ -18,7 +18,17 @@ jax.config.update("jax_enable_x64", True)
 
 import numpy as np
 
-REF = "/root/reference/src_acn"
+# Scenes run from a DISPOSABLE COPY of the corpus: the reference scripts
+# write work-claim and output files next to their own source
+# (src_acn/diamond_video.acn:202-227 uses file_touch/file_rename), and
+# /root/reference must never be written.  The copy also guarantees a
+# clean claim state, so diamond_video deterministically renders frame 0.
+import shutil
+import tempfile
+
+_TMP = tempfile.mkdtemp(prefix="acn_corpus_")
+shutil.copytree("/root/reference/src_acn", os.path.join(_TMP, "src_acn"))
+REF = os.path.join(_TMP, "src_acn")
 OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                    "golden_hashes.json")
 

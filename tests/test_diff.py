@@ -290,3 +290,126 @@ class TestEdgeAwareVisibility:
         _, g_ad, g_fd = self._grads(edge_aware=False)
         # interior-only AD misses the shadow-edge derivative entirely
         assert abs(g_ad - g_fd) > 0.5 * abs(g_fd), (g_ad, g_fd)
+
+
+class TestEdgeAwarePlaneAndCSG:
+    """Generalized silhouette boundary terms: a half-space occluder whose
+    boundary cuts the light sphere (the discontinuity curve is the
+    plane∩light rim circle) and a CSG intersection occluder (leaf-sphere
+    silhouette arcs masked by the composite's actual blocking jump)."""
+
+    N = 512
+
+    @staticmethod
+    def _scene_plane():
+        sc = Scene()
+        cfg = sc.cfg
+        cfg.image_width, cfg.image_height = 8, 6
+        cfg.trace_depth = 3
+        cfg.direct_samples = 64
+        cfg.path_samples = 0
+        cfg.background_color = (0.0, 0.0, 0.0)
+
+        lamp = Sphere(0.5)
+        lamp.prp.radiance = 25.0
+        lamp.move(v3(0, 0, 5))
+        sc.push(lamp)
+
+        floor = Plane()
+        floor.prp.fresnel_reflectivity = 0.0
+        sc.push(floor)
+
+        # vertical half-space, solid x > 0.2: its boundary plane cuts the
+        # lamp sphere (x in [-0.5, 0.5]), so the rim circle is the only
+        # way the image depends on the plane offset
+        occ = Plane()
+        occ.prp.fresnel_reflectivity = 0.0
+        occ.prp.rax = np.array([[0., 1., 0.], [0., 0., 1.], [-1., 0., 0.]])
+        occ.move(v3(0.2, 0, 0))
+        sc.push(occ)
+        return sc
+
+    @staticmethod
+    def _scene_csg():
+        sc = Scene()
+        cfg = sc.cfg
+        cfg.image_width, cfg.image_height = 8, 6
+        cfg.trace_depth = 3
+        cfg.direct_samples = 64
+        cfg.path_samples = 0
+        cfg.background_color = (0.0, 0.0, 0.0)
+
+        lamp = Sphere(0.5)
+        lamp.prp.radiance = 25.0
+        lamp.move(v3(0, 0, 5))
+        sc.push(lamp)
+
+        floor = Plane()
+        floor.prp.fresnel_reflectivity = 0.0
+        sc.push(floor)
+
+        a = Sphere(0.6)
+        a.move(v3(0.7, 0.0, 2.0))
+        b = Sphere(0.6)
+        b.move(v3(1.0, 0.0, 2.0))
+        lens = PairInside(a, b)
+        lens.prp.fresnel_reflectivity = 0.0
+        sc.push(lens)
+        return sc
+
+    def _grads(self, sc, pick, edge_aware=True, band=(-0.4, 0.4)):
+        import jax.numpy as jnp
+        ir = sir.compile_scene(sc)
+        n = self.N
+        tr = Tracer(ir, dtype=np.float64)
+        integ = Integrator(tr, batch=n)
+        dr = DiffRenderer(integ, sel_mode="uniform", edge_aware=edge_aware)
+        rng = np.random.default_rng(13)
+        px = rng.uniform(band[0], band[1], n)
+        py = rng.uniform(-0.4, 0.4, n)
+        p = np.stack([px, py, np.full(n, 0.5)], -1)
+        d = np.tile(np.array([0.0, 0.0, -1.0]), (n, 1))
+        q0 = {
+            "p": jnp.asarray(p), "d": jnp.asarray(d),
+            "intensity": jnp.ones((n,), np.float64),
+            "tint": jnp.ones((n, 3), np.float64),
+            "depth": jnp.full((n,), sc.cfg.trace_depth, np.int32),
+            "sample_id": jnp.arange(n, dtype=np.int32),
+            "is_path": jnp.zeros((n,), bool),
+        }
+        params = dr.params()
+        loss_fn = lambda ps: dr.render_loss(ps, q0)
+        val, grads = jax.value_and_grad(loss_fn)(params)
+        key, flat_idx = pick
+        g_ad = float(np.asarray(grads["geom"][key]).reshape(-1)[flat_idx])
+
+        leaf = np.asarray(params["geom"][key], np.float64)
+        delta = 2e-2
+
+        def eval_at(eps):
+            pert = leaf.reshape(-1).copy()
+            pert[flat_idx] += eps
+            ps = {g: dict(v) for g, v in params.items()}
+            ps["geom"][key] = pert.reshape(leaf.shape)
+            return float(loss_fn(ps))
+
+        g_fd = (eval_at(delta) - eval_at(-delta)) / (2 * delta)
+        return val, g_ad, g_fd
+
+    def test_plane_offset_edge_matches_fd(self):
+        # occluder plane is pla row 1 (floor is row 0); param k
+        val, g_ad, g_fd = self._grads(self._scene_plane(), ("pla_k", 1),
+                                      band=(-0.5, 0.1))
+        assert np.isfinite(val)
+        assert abs(g_fd) > 1e-3
+        assert abs(g_ad - g_fd) <= 0.3 * abs(g_fd), (g_ad, g_fd)
+
+    def test_csg_sphere_leaf_edge_matches_fd(self):
+        # the lens's LEFT edge (the one the shadow rays graze) is leaf
+        # B's surface: perturb c0_l1_c x (leaf A owns the far edge and
+        # correctly yields ~zero FD from this band)
+        val, g_ad, g_fd = self._grads(self._scene_csg(), ("c0_l1_c", 0),
+                                      band=(0.1, 0.9))
+        assert np.isfinite(val)
+        assert abs(g_fd) > 1e-3
+        assert abs(g_ad - g_fd) <= 0.3 * abs(g_fd), (g_ad, g_fd)
