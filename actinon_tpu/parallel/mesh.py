@@ -107,6 +107,8 @@ class ShardedIntegrator(Integrator):
         n = self._n_dev
         N = len(pos)
         Nl = -(-N // n)                     # samples per device
+        # pow2 bucket: adaptive passes vary N; avoid per-N recompiles
+        Nl = 1 << int(np.ceil(np.log2(max(Nl, 64))))
         Npad = Nl * n
         if Npad > N:
             pos = np.concatenate([pos, np.zeros((Npad - N, 2))])

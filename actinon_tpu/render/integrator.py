@@ -42,7 +42,8 @@ import jax.numpy as jnp
 
 from actinon_tpu import rng as argn
 from actinon_tpu.scene import ir as sir
-from actinon_tpu.render.tracer import (Tracer, _norm3, _dot, safe_sqrt, safe_acos)
+from actinon_tpu.render.tracer import (Tracer, _norm3, _dot, safe_sqrt,
+                                       safe_acos, _sphere_first_hit)
 
 INF = jnp.inf
 F3_MAG = 1e30
@@ -564,7 +565,21 @@ class Integrator:
 
         lum = jnp.zeros((B, 3), dt)
 
-        for li in range(self.n_lights):
+        # single-sphere lights batch into ONE vectorized block whose
+        # shadow traversals run as one flattened call per sample chunk —
+        # per-light python emission would copy the whole scene-traversal
+        # HLO n_lights times into the module (hanging_lamps_in_row: 10
+        # bulbs) and blow up both XLA compile time and launch count
+        exact = [li for li in range(self.n_lights)
+                 if self.l_sphere_exact[li]]
+        legacy = [li for li in range(self.n_lights)
+                  if not self.l_sphere_exact[li]]
+        if exact:
+            lum = lum + self._nee_exact_batch(exact, pos, surf_d, di,
+                                              gate, theta_i, on_a, on_b,
+                                              ray_prj, rv, ns)
+
+        for li in legacy:
             lpos = self._mt("l_pos")[li]
             lrad = self._mt("l_rad")[li]
             lr = self._mt("l_radius")[li]
@@ -664,6 +679,89 @@ class Integrator:
             lum = lum + self._nee_edge_terms(pos, surf_d, di, gate,
                                              theta_i, on_a, on_b, ray_prj)
         return lum
+
+    def _nee_exact_batch(self, idx, pos, surf_d, di, gate, theta_i, on_a,
+                         on_b, ray_prj, rv, ns):
+        """Vectorized NEE over all single-sphere lights at once
+        (reference src/scene.c:542-578 per-light loop, fused):
+        cone/frame/cap-sample/light-hit math batches on a light axis, and
+        each sample chunk issues ONE flattened shadow traversal for ALL
+        lights.  RNG counters match the per-light form exactly
+        (ctr = 4*(li*direct_cap + j))."""
+        dt = self.dtype
+        from actinon_tpu import math3d as m3
+        B = pos.shape[0]
+        Le = len(idx)
+        li = jnp.asarray(np.asarray(idx, np.int32))
+        lp = self._mt("l_pos")[li]                     # [Le,3]
+        lrad = self._mt("l_rad")[li]
+        lr = self._mt("l_radius")[li]
+        lcol = self._mt("l_color")[li]
+
+        diff = lp[None] - pos[:, None]                 # [B,Le,3]
+        dist2 = _dot(diff, diff)
+        fov_d = _norm3(diff)
+        r2 = (lr * lr)[None]
+        cos_rs = jnp.where(
+            dist2 > r2,
+            safe_sqrt(1.0 - r2 / jnp.where(dist2 > 0, dist2, 1.0)),
+            -1.0)
+        cyl = 1.0 - cos_rs                             # [B,Le]
+        frame = m3.transposed(m3.con_z(fov_d))         # [B,Le,3,3]
+
+        from actinon_tpu.render.tracer import CHUNK as _LCHUNK
+        W = max(1, min(len(self.tr.tab), _LCHUNK))
+        budget = min(1 << 20, (1 << 26) // W)
+        s_chunk = max(1, min(self.direct_cap,
+                             budget // max(B * Le, 1)))
+        n_chunks = -(-self.direct_cap // s_chunk)
+
+        def chunk(j0):
+            js = j0 + jnp.arange(s_chunk)              # [S]
+            ctr = 4 * (li[:, None] * self.direct_cap + js[None, :])
+            u1 = argn.uniform(rv[:, None, None], ctr[None], dt)
+            u2 = argn.uniform(rv[:, None, None], ctr[None] + 1, dt)
+            local = m3.sphere_cap_sample(u1, u2, cyl[..., None])
+            out_d = jnp.einsum("blij,blsj->blsi", frame, local)
+            w = jnp.einsum("blsi,bi->bls", out_d, surf_d)
+            ok = (js[None, None] < ns[:, None, None]) \
+                & gate[:, None, None] & (w > 0)
+            a = _sphere_first_hit(lp[None, :, None], lr[None, :, None],
+                                  pos[:, None, None], out_d, self.tr.eps)
+            ok = ok & jnp.isfinite(a)
+            S = s_chunk
+            won = jnp.where(
+                (on_b > 0)[:, None, None],
+                self._oren_nayar_b(
+                    w.reshape(B, Le * S), theta_i, on_a, on_b,
+                    out_d.reshape(B, Le * S, 3), surf_d,
+                    ray_prj).reshape(B, Le, S), w)
+            flat_p = jnp.broadcast_to(pos[:, None, None, :],
+                                      (B, Le, S, 3)).reshape(-1, 3)
+            a_lim = jnp.where(jnp.isfinite(a), a, 0.0).reshape(-1)
+            blocked = self.tr.shadow_blocked(
+                flat_p, out_d.reshape(-1, 3), a_lim).reshape(B, Le, S)
+            ok = ok & ~blocked
+            a_safe = jnp.where(jnp.isfinite(a), a, 0.0)
+            hitp = pos[:, None, None, :] + out_d * a_safe[..., None]
+            dsq = jnp.sum((hitp - lp[None, :, None]) ** 2, -1)
+            loc = jnp.where(dsq > 0,
+                            lrad[None, :, None]
+                            / jnp.where(dsq > 0, dsq, 1.0), F3_MAG)
+            contrib = lcol[None, :, None, :] \
+                * (loc * won)[..., None] * di[:, None, None, None]
+            return jnp.sum(jnp.where(ok[..., None], contrib, 0.0),
+                           axis=2)                     # [B,Le,3]
+
+        if n_chunks == 1:
+            cl = chunk(jnp.int32(0))
+        else:
+            # lax.map: ONE chunk body in the module however many chunks
+            # run (each contains a full scene traversal)
+            starts = jnp.arange(n_chunks, dtype=jnp.int32) * s_chunk
+            cl = jnp.sum(jax.lax.map(chunk, starts), axis=0)
+        fac = (2.0 * cyl / ns.astype(dt)[:, None])[..., None]
+        return jnp.sum(cl * fac, axis=1)
 
     def _nee_edge_terms(self, pos, surf_d, di, gate, theta_i, on_a, on_b,
                         ray_prj, K=32):
@@ -1042,8 +1140,7 @@ class Integrator:
         (x, y).  On the device drain the queue is BUILT on device from the
         positions; otherwise falls back to host raygen + run()."""
         n = len(pos_xy)
-        if getattr(self, "device_drain", True) \
-                and jax.default_backend() != "cpu":
+        if getattr(self, "device_drain", True):
             return self.run_device(None, n, pos_xy=pos_xy)
         from actinon_tpu.render.driver import camera_rays
         p, d = camera_rays(self.ir, np.asarray(pos_xy, np.float64),
@@ -1084,40 +1181,51 @@ class Integrator:
         live in the same queue and expand in place (_expand_parents)."""
         dt = self.dtype
         N = n_samples
+        # bucket the sample count to a power of two: adaptive passes call
+        # with varying N, and every distinct N would otherwise recompile
+        # the whole drain (pad lanes are dead: intensity 0)
+        Np = 1 << int(np.ceil(np.log2(max(N, 64))))
         B = self.batch
         nb = self._n_child_blocks
         # path configs queue path children transiently: double the slack
         cap_fac = 4 if self.path_cap == 0 else 8
-        C = 1 << int(np.ceil(np.log2(max(cap_fac * N, 4 * B))))
+        C = 1 << int(np.ceil(np.log2(max(cap_fac * Np, 4 * B))))
 
         if not hasattr(self, "_drain_jit"):
             self._drain_jit = {}
         if pos_xy is not None:
-            key = ("pos", C, N)
+            if Np > N:
+                pos_xy = np.concatenate(
+                    [np.asarray(pos_xy), np.zeros((Np - N, 2))])
+            key = ("pos", C, Np)
             if key not in self._drain_jit:
-                def drain_pos(pos):
+                def drain_pos(pos, n_valid):
                     p, d = self._camera_rays_dev(pos)
-                    pad = C + nb * B - N
-                    z1 = jnp.zeros((pad,), dt)
+                    pad = C + nb * B - Np
+                    live = (jnp.arange(Np) < n_valid).astype(dt)
                     q = dict(
                         p=jnp.concatenate([p, jnp.zeros((pad, 3), dt)]),
                         d=jnp.concatenate(
                             [d, jnp.tile(jnp.asarray([[0, 0, 1]], dt),
                                          (pad, 1))]),
-                        intensity=jnp.concatenate([jnp.ones((N,), dt), z1]),
-                        tint=jnp.concatenate([jnp.ones((N, 3), dt),
-                                              jnp.zeros((pad, 3), dt)]),
+                        intensity=jnp.concatenate(
+                            [live, jnp.zeros((pad,), dt)]),
+                        tint=jnp.concatenate(
+                            [jnp.broadcast_to(live[:, None], (Np, 3)),
+                             jnp.zeros((pad, 3), dt)]),
                         depth=jnp.concatenate(
-                            [jnp.full((N,), self.cfg.trace_depth, jnp.int32),
+                            [jnp.full((Np,), self.cfg.trace_depth,
+                                      jnp.int32),
                              jnp.zeros((pad,), jnp.int32)]),
                         sample_id=jnp.concatenate(
-                            [jnp.arange(N, dtype=jnp.int32),
+                            [jnp.arange(Np, dtype=jnp.int32),
                              jnp.zeros((pad,), jnp.int32)]))
                     if self.path_cap:
                         q.update(self._mixed_pad_fields(C + nb * B))
-                    return self._drain(q, jnp.int32(N), N, C)
+                    return self._drain(q, jnp.int32(Np), Np, C)
                 self._drain_jit[key] = jax.jit(drain_pos)
-            out = self._drain_jit[key](jnp.asarray(pos_xy, dt))
+            out = self._drain_jit[key](jnp.asarray(pos_xy, dt),
+                                       jnp.int32(N))
         else:
             # buffer physically sized C + nb*B so the child write-back is
             # always a full in-bounds block; logical entries live in
@@ -1147,7 +1255,7 @@ class Integrator:
             print(f"warning: drain trip cap ({DRAIN_TRIP_CAP}) reached — "
                   f"wavefront terminated early, image under-rendered",
                   flush=True)
-        return acc.astype(np.float64)
+        return acc[:n_samples].astype(np.float64)
 
     def _drain(self, q0, count0, n_samples, C, axis=None, batch=None):
         """Staged drain: pop up to B lanes from the tail, step, compact

@@ -263,6 +263,173 @@ class _Composite:
         self.is_light = is_light
 
 
+# -- or-decomposition of analytic composites --------------------------------
+#
+# A union of spatially DISJOINT solids hits like independent objects: the
+# first boundary of A|B is min(first(A), first(B)) whenever A and B cannot
+# overlap.  Reference scenes build large assemblies exactly this way
+# (hanging_lamp: ~12-leaf lamp trees that are unions of small disjoint
+# parts, reference src_acn/hanging_lamp/tools.acn), so splitting or-nodes
+# whose operand bounds are disjoint turns a handful of huge trees into
+# many TINY same-shape trees — which the grouped walk batches into a few
+# small HLO blocks (compile size) and gives each part a TIGHT envelope
+# gate (the reference's author-defined bounding-sphere hierarchy,
+# src/compound.c:215-244).
+
+
+def _leaf_bound(tab, row):
+    """Conservative bounding sphere of one positive analytic leaf, or
+    None when unbounded (planes, negations, open quadrics)."""
+    if tab.neg[row]:
+        return None
+    if tab.kind[row] == sir.SPHERE:
+        return (-np.asarray(tab.m0[row], np.float64),
+                float(np.sqrt(-tab.rr[row])))
+    if tab.kind[row] == sir.QUADRIC:
+        M = np.asarray(tab.M[row], np.float64)
+        m0 = np.asarray(tab.m0[row], np.float64)
+        c2 = np.asarray(tab.c2[row], np.float64)
+        rr = float(tab.rr[row])
+        if np.all(c2 > 0) and rr < 0:        # ellipsoid
+            try:
+                Minv = np.linalg.inv(M)
+            except np.linalg.LinAlgError:
+                return None
+            r_local = float(np.sqrt(-rr / np.min(c2)))
+            smax = float(np.linalg.svd(Minv, compute_uv=False)[0])
+            return (Minv @ (-m0), r_local * smax)
+    return None
+
+
+def _tree_bound(tree, rows, tab):
+    """Bounding sphere of a subtree (None = unbounded).  An intersection
+    is bounded by ANY bounded operand; a union needs both."""
+    if tree[0] == "leaf":
+        row = rows[tree[1]]
+        return None if row < 0 else _leaf_bound(tab, row)
+    if tree[0] == "not":
+        return None
+    b1 = _tree_bound(tree[1], rows, tab)
+    b2 = _tree_bound(tree[2], rows, tab)
+    if tree[0] == "and":
+        if b1 is None:
+            return b2
+        if b2 is None:
+            return b1
+        return b1 if b1[1] <= b2[1] else b2
+    if b1 is None or b2 is None:
+        return None
+    c1, r1 = b1
+    c2_, r2 = b2
+    d = float(np.linalg.norm(c2_ - c1))
+    if d + r2 <= r1:
+        return b1
+    if d + r1 <= r2:
+        return b2
+    r = 0.5 * (d + r1 + r2)
+    c = c1 + (c2_ - c1) * ((r - r1) / d if d > 0 else 0.0)
+    return (c, r)
+
+
+def _or_parts(tree):
+    if tree[0] == "or":
+        return _or_parts(tree[1]) + _or_parts(tree[2])
+    return [tree]
+
+
+def _tree_leaves(tree):
+    if tree[0] == "leaf":
+        return [tree[1]]
+    if tree[0] == "not":
+        return _tree_leaves(tree[1])
+    return _tree_leaves(tree[1]) + _tree_leaves(tree[2])
+
+
+def _reindex_tree(tree, mapping):
+    if tree[0] == "leaf":
+        return ("leaf", mapping[tree[1]])
+    if tree[0] == "not":
+        return ("not", _reindex_tree(tree[1], mapping))
+    return (tree[0], _reindex_tree(tree[1], mapping),
+            _reindex_tree(tree[2], mapping))
+
+
+def _decompose_composite(comp, tab, eps):
+    """Split an all-analytic composite's top-level union into
+    mini-composites for its spatially disjoint components.  Components
+    keep the parent's oid/material identity; bounded components get
+    their own tight envelope.  Returns [comp] unchanged when nothing
+    splits."""
+    parts = _or_parts(comp.tree)
+    if len(parts) < 2:
+        return [comp]
+    bounds = [_tree_bound(p, comp.rows, tab) for p in parts]
+    # connected components under "bounds may overlap" (None = everywhere)
+    n = len(parts)
+    parent = list(range(n))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    def union(i, j):
+        parent[find(i)] = find(j)
+
+    # an unbounded part (contains planes/negations) may overlap anything:
+    # it glues the whole union back together (conservative)
+    margin = 8.0 * eps
+    for i in range(n):
+        for j in range(i + 1, n):
+            if bounds[i] is None or bounds[j] is None:
+                union(i, j)
+                continue
+            ci, ri = bounds[i]
+            cj, rj = bounds[j]
+            if np.linalg.norm(cj - ci) <= ri + rj + margin:
+                union(i, j)
+    comps: Dict[int, list] = {}
+    for i in range(n):
+        comps.setdefault(find(i), []).append(i)
+    if len(comps) < 2:
+        return [comp]
+    def merge(b1, b2):
+        if b1 is None or b2 is None:
+            return None
+        c1, r1 = b1
+        c2_, r2 = b2
+        d = float(np.linalg.norm(c2_ - c1))
+        if d + r2 <= r1:
+            return b1
+        if d + r1 <= r2:
+            return b2
+        r = 0.5 * (d + r1 + r2)
+        c = c1 + (c2_ - c1) * ((r - r1) / d if d > 0 else 0.0)
+        return (c, r)
+
+    out = []
+    for idxs in comps.values():
+        tree = parts[idxs[0]]
+        bound = bounds[idxs[0]]
+        for i in idxs[1:]:
+            tree = ("or", tree, parts[i])
+            bound = merge(bound, bounds[i])
+        locs = sorted(set(_tree_leaves(tree)))
+        mapping = {l: k for k, l in enumerate(locs)}
+        new_tree = _reindex_tree(tree, mapping)
+        new_rows = [comp.rows[l] for l in locs]
+        if bound is not None:
+            env_c, env_r = bound[0], bound[1] * 1.001 + 4.0 * eps
+        else:
+            env_c, env_r = comp.env_c, comp.env_r
+        sub = _Composite(comp.oid, new_tree, new_rows,
+                         [None] * len(new_rows), env_c, env_r,
+                         comp.is_light)
+        out.append(sub)
+    return out
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -337,7 +504,11 @@ class Tracer:
             if any(lf is not None for lf in comp.sdf_leaves):
                 self.comp_solo.append(comp)
                 continue
-            groups.setdefault(repr(comp.tree), []).append(comp)
+            # or-decomposition first: disjoint union components evaluate
+            # independently with tight envelopes, and their small trees
+            # batch into few groups
+            for sub in _decompose_composite(comp, tab, self.eps):
+                groups.setdefault(repr(sub.tree), []).append(sub)
         self.comp_groups = list(groups.values())
 
         # static chunk partition of the single-leaf candidate rows

@@ -239,6 +239,8 @@ def _pallas_parity():
 
 
 def main():
+    from actinon_tpu import compile_cache
+    compile_cache.enable()
     cpu_pin = "--cpu-pin" in sys.argv
     quick = "--quick" in sys.argv
     if cpu_pin:

@@ -25,3 +25,7 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+from actinon_tpu import compile_cache
+
+compile_cache.enable()

@@ -14,6 +14,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 jax.config.update("jax_platforms", "cpu")
+from actinon_tpu import compile_cache
+compile_cache.enable()
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np

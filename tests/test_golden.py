@@ -29,8 +29,8 @@ with open(GOLDEN_PATH) as f:
 
 # the full corpus is rendered by default; mark the slowest scenes so a
 # quick pass (-m "not slow_golden") still covers every subsystem
-SLOW = {"caustic_of_caustic", "hanging_lamps_in_row", "many_spheres",
-        "paraffin_lamp", "paraffin_lamp_on_ledge"}
+SLOW = {"caustic_of_caustic", "hanging_lamp", "hanging_lamps_in_row",
+        "many_spheres", "paraffin_lamp", "paraffin_lamp_on_ledge"}
 
 
 def test_golden_covers_corpus():
