@@ -250,6 +250,23 @@ class _Unified:
         return len(self.rr)
 
 
+class _LeafP:
+    """Duck-typed stand-in for an SDF `sir.Leaf` inside a scanned
+    solo-cluster body: same attribute names the SDF helpers read, but
+    m/m0/sdf_param are traced per-member arrays (sdf_kind/cycles/neg stay
+    static — uniform within a cluster by the clustering key)."""
+
+    __slots__ = ("sdf_kind", "cycles", "neg", "m", "m0", "sdf_param")
+
+    def __init__(self, proto, m, m0, param):
+        self.sdf_kind = proto.sdf_kind
+        self.cycles = proto.cycles
+        self.neg = proto.neg
+        self.m = m
+        self.m0 = m0
+        self.sdf_param = param
+
+
 class _Composite:
     """One CSG object: tree program over unified rows + SDF leaves."""
 
@@ -897,6 +914,154 @@ class Tracer:
                                                    p, d)
         return blocked
 
+    # -- scanned solo-composite clusters -----------------------------------
+
+    def _solo_clusters(self):
+        """Partition of comp_solo into shape-identical clusters: same CSG
+        tree, same analytic/SDF slot pattern, same static SDF kinds, same
+        envelope presence.  Members of a cluster differ only in numeric
+        parameters (rows/transforms/envelopes), so they evaluate as ONE
+        lax.scan over stacked member parameters — the module embeds the
+        per-composite body once per *shape* instead of once per
+        *composite* (hanging_lamps_in_row: 760 solo blocks -> 3 scanned
+        bodies; an unrolled trace of that scene exceeded 8e5 jaxpr eqns
+        and hours of XLA compile)."""
+        if not hasattr(self, "_solo_cl"):
+            clusters: Dict = {}
+            for comp in self.comp_solo:
+                key = (repr(comp.tree),
+                       tuple(r >= 0 for r in comp.rows),
+                       tuple(None if lf is None else
+                             (lf.sdf_kind, int(lf.cycles), bool(lf.neg))
+                             for lf in comp.sdf_leaves),
+                       comp.env_c is not None and comp.env_r > 0,
+                       comp.is_light)
+                clusters.setdefault(key, []).append(comp)
+            self._solo_cl = list(clusters.values())
+        return self._solo_cl
+
+    def _cluster_stacks(self, cluster):
+        """Stacked per-member parameter arrays (leading axis = member)
+        for one shape cluster."""
+        dt = self.dtype
+        proto = cluster[0]
+        pattern = [r >= 0 for r in proto.rows]
+        sdf_slots = [li for li, lf in enumerate(proto.sdf_leaves)
+                     if lf is not None]
+        xs = {}
+        if any(pattern):
+            xs["arows"] = jnp.asarray(np.asarray(
+                [[r for r in c.rows if r >= 0] for c in cluster],
+                np.int32))
+        for li in sdf_slots:
+            xs[f"m{li}"] = jnp.asarray(np.stack(
+                [np.asarray(c.sdf_leaves[li].m, dt) for c in cluster]))
+            xs[f"m0{li}"] = jnp.asarray(np.stack(
+                [np.asarray(c.sdf_leaves[li].m0, dt) for c in cluster]))
+            xs[f"prm{li}"] = jnp.asarray(np.asarray(
+                [c.sdf_leaves[li].sdf_param for c in cluster], dt))
+        if proto.env_c is not None and proto.env_r > 0:
+            xs["env_c"] = jnp.asarray(np.stack(
+                [np.asarray(c.env_c, dt) for c in cluster]))
+            xs["env_r"] = jnp.asarray(np.asarray(
+                [c.env_r for c in cluster], dt))
+        xs["rows_map"] = jnp.asarray(np.asarray(
+            [c.rows for c in cluster], np.int32))
+        return proto, pattern, sdf_slots, xs
+
+    def _solo_body_core(self, proto, pattern, sdf_slots, x, tabs, p, d):
+        """One member's crossings + parity walk (the exact op sequence of
+        _composite_crossings/_walk with traced per-member parameters).
+        Returns (hit_t raw, leaf_loc, env gate or None)."""
+        Lc = len(proto.rows)
+        cross_cols = []
+        leaf_of_col = []
+        inside = [None] * Lc
+        if "arows" in x:
+            A, Bq, Cq, _, _ = self._quads(tabs, x["arows"], p, d)
+            t0u, t1u, _, _, _, _ = self._roots(A, Bq, Cq)
+            ai = 0
+            for li, has in enumerate(pattern):
+                if not has:
+                    continue
+                cross_cols.append(t0u[:, ai]); leaf_of_col.append(li)
+                cross_cols.append(t1u[:, ai]); leaf_of_col.append(li)
+                inside[li] = Cq[:, ai] <= 0
+                ai += 1
+        for li in sdf_slots:
+            lf = _LeafP(proto.sdf_leaves[li], x[f"m{li}"], x[f"m0{li}"],
+                        x[f"prm{li}"])
+            ts = self._sdf_crossings(lf, p, d, SDF_CROSSINGS)
+            for kk in range(SDF_CROSSINGS):
+                cross_cols.append(ts[:, kk]); leaf_of_col.append(li)
+            plq = jnp.einsum("ij,rj->ri",
+                             jnp.asarray(lf.m.astype(self.dtype)),
+                             p) + jnp.asarray(lf.m0.astype(self.dtype))
+            inside[li] = _sdf_eval(lf.sdf_kind, lf.sdf_param, plq) <= 0
+        cross = jnp.stack(cross_cols, axis=-1)
+        cross = jnp.where(cross > 0, cross, INF)
+        inside0 = jnp.stack([inside[li] for li in range(Lc)], axis=-1)
+        hit_t, leaf_loc = self._group_walk(
+            proto.tree, cross[:, None, :],
+            np.asarray(leaf_of_col, np.int32), inside0[:, None, :])
+        hit_t, leaf_loc = hit_t[:, 0], leaf_loc[:, 0]
+        gate = None
+        if "env_c" in x:
+            ec, er = x["env_c"], x["env_r"]
+            pp = p - ec
+            s = _dot(pp, d)
+            q = _dot(pp, pp) - er ** 2
+            disc = s * s - q
+            gate = (disc >= 0) & ((s < 0) | (q < 0))
+        return hit_t, leaf_loc, gate
+
+    def _solo_scan_hit(self, cluster, tabs, p, d):
+        """Boundary hits + winner rows + winner SDF normals for a whole
+        shape cluster, one scanned body.  Returns (a [G,R] eps-backed
+        env-gated, row [G,R], nor [G,R,3])."""
+        dt = self.dtype
+        proto, pattern, sdf_slots, xs = self._cluster_stacks(cluster)
+
+        def body(_, x):
+            hit_t, leaf_loc, gate = self._solo_body_core(
+                proto, pattern, sdf_slots, x, tabs, p, d)
+            if gate is not None:
+                hit_t = jnp.where(gate, hit_t, INF)
+            row = x["rows_map"][leaf_loc]
+            a = jnp.where(jnp.isfinite(hit_t), hit_t - self.eps, INF)
+            t_safe = jnp.where(jnp.isfinite(a), a, 0.0)
+            hx = p + d * t_safe[:, None]
+            nor = jnp.zeros(p.shape, dt)
+            for li in sdf_slots:
+                lf = _LeafP(proto.sdf_leaves[li], x[f"m{li}"],
+                            x[f"m0{li}"], x[f"prm{li}"])
+                m = jnp.asarray(lf.m.astype(dt))
+                m0l = jnp.asarray(lf.m0.astype(dt))
+                ql = jnp.einsum("ij,rj->ri", m, hx) + m0l
+                nl = self._sdf_normal(lf, ql)
+                nor = jnp.where((leaf_loc == li)[:, None], nl, nor)
+            return None, (a, row, nor)
+
+        _, (a_g, row_g, nor_g) = jax.lax.scan(body, None, xs)
+        return a_g, row_g, nor_g
+
+    def _solo_scan_shadow(self, cluster, tabs, p, d, limit):
+        """Any-hit shadow over a whole shape cluster (the scanned form of
+        _shadow_composite); returns blocked [R]."""
+        proto, pattern, sdf_slots, xs = self._cluster_stacks(cluster)
+        R = p.shape[0]
+
+        def body(blocked, x):
+            hit_t, _, gate = self._solo_body_core(
+                proto, pattern, sdf_slots, x, tabs, p, d)
+            b = jnp.isfinite(hit_t) & (hit_t - self.eps <= limit)
+            if gate is not None:
+                b = b & gate
+            return blocked | b, None
+
+        blocked, _ = jax.lax.scan(body, jnp.zeros((R,), bool), xs)
+        return blocked
+
     # -- batched composite groups ------------------------------------------
 
     def _group_walk_poly(self, tree, cross, leaf_of_col, root_of_col,
@@ -1150,8 +1315,31 @@ class Tracer:
                 cols_t.append(a)
                 cols_row.append(row_g[:, gi])
 
+        # clusters of >=2 shape-identical solo composites evaluate as one
+        # scanned body; results are keyed back to each member so the
+        # column order below stays exactly the comp_solo order (argmin
+        # tie-breaking between coincident surfaces is order-dependent)
+        solo_out = {}
+        for cluster in self._solo_clusters():
+            if len(cluster) < 2 or (matter_only and cluster[0].is_light):
+                continue
+            a_g, row_g, nor_g = self._solo_scan_hit(cluster, tabs, p, d)
+            for gi, comp in enumerate(cluster):
+                solo_out[id(comp)] = (a_g[gi], row_g[gi], nor_g[gi])
+
         for comp in self.comp_solo:
             if matter_only and comp.is_light:
+                continue
+            got = solo_out.get(id(comp))
+            if got is not None:
+                a, row, nor = got
+                if lane_matter is not None and comp.is_light:
+                    a = jnp.where(lane_matter, INF, a)
+                k = len(cols_t)
+                cols_t.append(a)
+                cols_row.append(row)
+                oid_special.append((k, comp.oid))
+                nor_ovr.append((k, nor))
                 continue
             a, leaf_loc, row = self._hit_composite(comp, tabs, p, d)
             if lane_matter is not None and comp.is_light:
@@ -1380,8 +1568,15 @@ class Tracer:
                 continue
             a_g, _ = self._group_hit(mf, tabs, p, d)
             blocked = blocked | jnp.any(a_g <= limit[:, None], axis=1)
+        scanned = set()
+        for cluster in self._solo_clusters():
+            if len(cluster) < 2 or cluster[0].is_light:
+                continue
+            blocked = blocked | self._solo_scan_shadow(cluster, tabs, p,
+                                                       d, limit)
+            scanned.update(id(c) for c in cluster)
         for comp in self.comp_solo:
-            if comp.is_light:
+            if comp.is_light or id(comp) in scanned:
                 continue
             blocked = blocked | self._shadow_composite(comp, tabs, p, d,
                                                        limit)
