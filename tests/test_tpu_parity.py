@@ -51,3 +51,8 @@ def test_pallas_parity_on_tpu():
         pytest.skip(out["skip"])
     assert out["shadow_agree"] >= 0.99, out
     assert out["nee_agree"] is None or out["nee_agree"] >= 0.99, out
+    big = out.get("bigscene")
+    if isinstance(big, dict):     # many_spheres table-driven kernel
+        assert big["hit_agree"] >= 0.99, out
+        assert big["shadow_agree"] >= 0.99, out
+        assert big["oid_agree"] is None or big["oid_agree"] >= 0.99, out
