@@ -84,6 +84,19 @@ def enable(cache_dir: str = None) -> None:
         return
     import jax
 
+    # XLA:CPU AOT executables do not reliably survive the persistent
+    # cache on this jaxlib: deserialization warns about pseudo machine
+    # features ('+prefer-no-scatter ... not supported on the host
+    # machine ... could lead to execution errors such as SIGILL') even
+    # for entries written on the SAME host, and pytest runs segfaulted
+    # inside compilation_cache.get_executable_and_time with fully intact
+    # (zstd-complete) entries.  CPU compiles are a bounded cost; cache
+    # only the expensive TPU compiles.  ACTINON_FORCE_COMPILE_CACHE=1
+    # overrides (e.g. to reproduce the failure).
+    if jax.default_backend() == "cpu" \
+            and not os.environ.get("ACTINON_FORCE_COMPILE_CACHE"):
+        return
+
     _patch_atomic_writes()
     path = cache_dir or os.environ.get("ACTINON_COMPILE_CACHE",
                                        _DEFAULT_DIR)

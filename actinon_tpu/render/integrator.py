@@ -62,6 +62,36 @@ DRAIN_CHUNK_TARGET_S = 15.0
 PATH_EXPAND = 16
 
 
+def _on_cpu():
+    import jax as _jax
+    return _jax.default_backend() == "cpu"
+
+
+def _frame_apply(frame, vecs):
+    """frame [..., 3, 3] applied to vecs [..., K, 3]:
+    out[..., k, i] = sum_j frame[..., i, j] * vecs[..., k, j].
+
+    CPU keeps the einsum (the golden corpus pins its contraction
+    order); TPU unrolls to three broadcast multiply-adds — exact f32 on
+    the VPU, where a K=3 dot at HIGHEST precision costs 6-pass MXU
+    passes plus layout churn."""
+    if _on_cpu():
+        return jnp.einsum("...ij,...kj->...ki", frame, vecs,
+                          precision=jax.lax.Precision.HIGHEST)
+    f = frame[..., None, :, :]        # [..., 1, 3, 3]
+    return jnp.stack(
+        [f[..., i, 0] * vecs[..., 0] + f[..., i, 1] * vecs[..., 1]
+         + f[..., i, 2] * vecs[..., 2] for i in range(3)], axis=-1)
+
+
+def _dotk(vecs, v):
+    """vecs [..., K, 3] . v [..., 3] -> [..., K] (v broadcast over K)."""
+    if _on_cpu():
+        return jnp.einsum("...ki,...i->...k", vecs, v,
+                          precision=jax.lax.Precision.HIGHEST)
+    return (vecs * v[..., None, :]).sum(-1)
+
+
 @dataclasses.dataclass
 class RayQueue:
     """Host-side struct-of-arrays ray queue."""
@@ -644,8 +674,8 @@ class Integrator:
                 from actinon_tpu import math3d as m3
                 local = m3.sphere_cap_sample(u1, u2,
                                              cyl_hgt[:, None])  # [B,S,3]
-                out_d = jnp.einsum("rij,rsj->rsi", frame, local)
-                w = jnp.einsum("rsi,ri->rs", out_d, surf_d)
+                out_d = _frame_apply(frame, local)
+                w = _dotk(out_d, surf_d)
                 ok = (js[None, :] < ns[:, None]) & gate[:, None] & (w > 0)
 
                 # true light-geometry hit (obj_ray_hit(light_src, ...),
@@ -733,8 +763,8 @@ class Integrator:
             u1 = argn.uniform(rv[:, None, None], ctr[None], dt)
             u2 = argn.uniform(rv[:, None, None], ctr[None] + 1, dt)
             local = m3.sphere_cap_sample(u1, u2, cyl[..., None])
-            out_d = jnp.einsum("blij,blsj->blsi", frame, local)
-            w = jnp.einsum("blsi,bi->bls", out_d, surf_d)
+            out_d = _frame_apply(frame, local)
+            w = _dotk(out_d, surf_d[:, None, :])
             ok = (js[None, None] < ns[:, None, None]) \
                 & gate[:, None, None] & (w > 0)
             a = _sphere_first_hit(lp[None, :, None], lr[None, :, None],
@@ -1230,8 +1260,8 @@ class Integrator:
                           + 2 * js[None, :] + 1, dt)
         from actinon_tpu import math3d as m3
         local = m3.sphere_cap_sample(u1, u2, 1.0)   # hemisphere cap
-        out_d = jnp.einsum("rij,rkj->rki", frame, local)      # [B,cap,3]
-        w = jnp.einsum("rki,ri->rk", out_d, surf_d)
+        out_d = _frame_apply(frame, local)                    # [B,cap,3]
+        w = _dotk(out_d, surf_d)
         ok = pp["mask"][:, None] & (js[None, :] < ns[:, None]) & (w > 0)
 
         won = jnp.where(
@@ -1275,8 +1305,8 @@ class Integrator:
         u2 = argn.uniform(q["rv"][:, None], c0 + 2 * js + 1, dt)
         from actinon_tpu import math3d as m3
         local = m3.sphere_cap_sample(u1, u2, 1.0)       # hemisphere cap
-        out_d = jnp.einsum("rij,rkj->rki", frame, local)
-        w = jnp.einsum("rki,ri->rk", out_d, surf_d)
+        out_d = _frame_apply(frame, local)
+        w = _dotk(out_d, surf_d)
         ok = (is_parent & allow)[:, None] & (js < ns[:, None]) & (w > 0) \
             & (di > 0)[:, None]
         won = jnp.where(
@@ -1314,10 +1344,9 @@ class Integrator:
                       ray_prj):
         """Batched over [B, K] sample axis."""
         theta_r = safe_acos(weight)
-        proj = out_d - nor[:, None, :] * jnp.einsum(
-            "rki,ri->rk", out_d, nor)[..., None]
+        proj = out_d - nor[:, None, :] * _dotk(out_d, nor)[..., None]
         proj = _norm3(proj)
-        cos_phi = -jnp.einsum("rki,ri->rk", proj, ray_prj)
+        cos_phi = -_dotk(proj, ray_prj)
         ti = theta_i[:, None]
         tan_arg = jnp.minimum(jnp.minimum(ti, theta_r), np.pi / 2 - 1e-6)
         return weight * (on_a[:, None] + on_b[:, None]
@@ -1431,13 +1460,19 @@ class Integrator:
                     if self.path_cap:
                         q.update(self._mixed_pad_fields(C + nb * B))
                     return self._init_carry(q, jnp.int32(n_valid), Np)
+                # first_fn fuses init + the first chunk: one dispatch
+                # instead of two per pass (each costs a tunnel round
+                # trip, which dominates sub-second draft passes)
                 self._drain_jit[key] = (
-                    jax.jit(init_pos),
+                    jax.jit(lambda pos, n_valid, bud: self._drain_carry(
+                        init_pos(pos, n_valid), bud, Np, C)),
                     jax.jit(lambda c, bud: self._drain_carry(
                         c, bud, Np, C), donate_argnums=0))
-            init_fn, chunk_fn = self._drain_jit[key]
-            carry = init_fn(jnp.asarray(pos_xy, dt), jnp.int32(N))
-            out = self._drain_chunked(chunk_fn, carry)
+            first_fn, chunk_fn = self._drain_jit[key]
+            out = self._drain_chunked(
+                chunk_fn, None, key=key,
+                first=lambda bud: first_fn(jnp.asarray(pos_xy, dt),
+                                           jnp.int32(N), bud))
         else:
             # buffer physically sized C + nb*B so the child write-back is
             # always a full in-bounds block; logical entries live in
@@ -1454,13 +1489,15 @@ class Integrator:
             key = (C, n_samples)
             if key not in self._drain_jit:
                 self._drain_jit[key] = (
-                    jax.jit(lambda q, count: self._init_carry(
-                        q, count, n_samples)),
+                    jax.jit(lambda q, count, bud: self._drain_carry(
+                        self._init_carry(q, count, n_samples), bud,
+                        n_samples, C)),
                     jax.jit(lambda c, bud: self._drain_carry(
                         c, bud, n_samples, C), donate_argnums=0))
-            init_fn, chunk_fn = self._drain_jit[key]
-            carry = init_fn(init, jnp.int32(N))
-            out = self._drain_chunked(chunk_fn, carry)
+            first_fn, chunk_fn = self._drain_jit[key]
+            out = self._drain_chunked(
+                chunk_fn, None, key=key,
+                first=lambda bud: first_fn(init, jnp.int32(N), bud))
         acc, dropped, queries, trips = jax.device_get(out)
         self.rays_traced += int(queries) * self.per_lane_queries
         self.last_trips = int(trips)
@@ -1495,7 +1532,8 @@ class Integrator:
         return ({k: pv(v) for k, v in q0.items()}, pv(count0), acc0,
                 jnp.int32(0), pv(jnp.int32(0)), pv(jnp.int32(0)))
 
-    def _drain_chunked(self, chunk_fn, carry, target_s=None):
+    def _drain_chunked(self, chunk_fn, carry, target_s=None, key=None,
+                       first=None):
         """Host loop around budget-bounded drain chunks.  The device
         worker kills any single program execution over ~60 s (measured
         on this image's TPU tunnel: a 300 s program dies at exactly
@@ -1505,25 +1543,57 @@ class Integrator:
         worker for three rounds).  Each chunk runs up to `budget` trips
         with the carry donated in place on device; the host fetches two
         scalars per chunk and adapts the budget toward `target_s`
-        seconds of wall time per call."""
+        seconds of wall time per call.
+
+        Each chunk boundary costs a host round trip (tunnel latency),
+        so short draft passes must not pay the 8->32->128 ramp every
+        time: the measured trips/second is remembered per drain `key`
+        and the next pass starts at the budget that should finish it in
+        ~one chunk (capped so the first chunk stays under the
+        watchdog)."""
         import time as _time
         target_s = target_s or DRAIN_CHUNK_TARGET_S
-        # start small: a heavy config's trips can run hundreds of ms
-        # each, and the FIRST call must stay under the watchdog too
-        budget = 8
+        if not hasattr(self, "_chunk_rate"):
+            self._chunk_rate = {}
+        rate = self._chunk_rate.get(key)
+        # cold start small: a heavy config's trips can run hundreds of
+        # ms each, and the FIRST call must stay under the watchdog too
+        budget = 8 if rate is None else \
+            max(8, min(1 << 16, int(rate * target_s)))
+        t_all = _time.time()
+        n_chunks = 0
         while True:
             t0 = _time.time()
-            carry = chunk_fn(carry, jnp.int32(budget))
-            count, it = map(int, jax.device_get((carry[1], carry[3])))
+            if first is not None and n_chunks == 0:
+                carry = first(jnp.int32(budget))
+            else:
+                carry = chunk_fn(carry, jnp.int32(budget))
+            n_chunks += 1
+            if rate is not None:
+                # warm key: the pass usually finishes in this chunk —
+                # fetch results together with the stop scalars so a
+                # finished pass costs ONE result round trip
+                count, it, acc, dropped, queries = jax.device_get(
+                    (carry[1], carry[3], carry[2], carry[4], carry[5]))
+                count, it = int(count), int(it)
+                done = count <= 0 or it >= DRAIN_TRIP_CAP
+            else:
+                count, it = map(int, jax.device_get((carry[1],
+                                                     carry[3])))
+                done = count <= 0 or it >= DRAIN_TRIP_CAP
+                if done:
+                    acc, dropped, queries = jax.device_get(
+                        (carry[2], carry[4], carry[5]))
             wall = _time.time() - t0
-            if count <= 0 or it >= DRAIN_TRIP_CAP:
+            if done:
                 break
             # grow at most 4x per chunk: per-trip cost can jump when the
             # wavefront enters a heavier phase (path spawn), and one
             # chunk must never cross the watchdog
             budget = max(8, min(1 << 16, 4 * budget,
                                 int(budget * target_s / max(wall, 0.05))))
-        q, count, acc, it, dropped, queries = carry
+        if key is not None and it > 0:
+            self._chunk_rate[key] = it / max(_time.time() - t_all, 1e-3)
         return acc, dropped, queries, it
 
     def _drain(self, q0, count0, n_samples, C, axis=None, batch=None):

@@ -176,27 +176,34 @@ def build_top2_kernel(blocks: SphereBlocks, interpret=False):
                 cand = _sphere_cands(px, py, pz, dx, dy, dz,
                                      tab_ref[g], eps)
                 b1 = jnp.min(cand, axis=1, keepdims=True)
-                bi1 = jnp.argmin(cand, axis=1).astype(
-                    jnp.int32)[:, None]
-                cand2 = jnp.where(lanes == bi1, INF, cand)
-                b2 = jnp.min(cand2, axis=1, keepdims=True)
-                bi2 = jnp.argmin(cand2, axis=1).astype(
-                    jnp.int32)[:, None]
-                gb = g * LB
-                gi1 = gb + bi1
-                gi2 = gb + bi2
-                t1, t2 = t1_s[:], t2_s[:]
-                i1, i2 = i1_s[:], i2_s[:]
-                lo_t = jnp.minimum(t1, b1)
-                lo_i = jnp.where(b1 < t1, gi1, i1)
-                hi_t = jnp.maximum(t1, b1)
-                hi_i = jnp.where(b1 < t1, i1, gi1)
-                w2 = jnp.minimum(t2, b2)
-                w2i = jnp.where(b2 < t2, gi2, i2)
-                t1_s[:] = lo_t
-                i1_s[:] = lo_i
-                t2_s[:] = jnp.minimum(hi_t, w2)
-                i2_s[:] = jnp.where(hi_t <= w2, hi_i, w2i)
+
+                # the expensive part (two argmins + top-2 merge) runs
+                # only when some ray's block-best can displace its
+                # running second-best — most blocks lose outright once
+                # the front tightens
+                @pl.when(jnp.any(b1 < t2_s[:]))
+                def _():
+                    bi1 = jnp.argmin(cand, axis=1).astype(
+                        jnp.int32)[:, None]
+                    cand2 = jnp.where(lanes == bi1, INF, cand)
+                    b2 = jnp.min(cand2, axis=1, keepdims=True)
+                    bi2 = jnp.argmin(cand2, axis=1).astype(
+                        jnp.int32)[:, None]
+                    gb = g * LB
+                    gi1 = gb + bi1
+                    gi2 = gb + bi2
+                    t1, t2 = t1_s[:], t2_s[:]
+                    i1, i2 = i1_s[:], i2_s[:]
+                    lo_t = jnp.minimum(t1, b1)
+                    lo_i = jnp.where(b1 < t1, gi1, i1)
+                    hi_t = jnp.maximum(t1, b1)
+                    hi_i = jnp.where(b1 < t1, i1, gi1)
+                    w2 = jnp.minimum(t2, b2)
+                    w2i = jnp.where(b2 < t2, gi2, i2)
+                    t1_s[:] = lo_t
+                    i1_s[:] = lo_i
+                    t2_s[:] = jnp.minimum(hi_t, w2)
+                    i2_s[:] = jnp.where(hi_t <= w2, hi_i, w2i)
             return carry
 
         jax.lax.fori_loop(0, G, body, 0)
@@ -205,10 +212,12 @@ def build_top2_kernel(blocks: SphereBlocks, interpret=False):
         i1_o[:] = i1_s[:]
         i2_o[:] = i2_s[:]
 
-    bounds = jnp.asarray(blocks.bounds)
-    table = jnp.asarray(blocks.table)
-
     def fn(p, d):
+        # constants materialize per-trace: building them once outside and
+        # closing over them would capture tracers when the first call
+        # happens inside another jit trace (UnexpectedTracerError)
+        bounds = jnp.asarray(blocks.bounds)
+        table = jnp.asarray(blocks.table)
         N = p.shape[0]
         Np = -(-N // TR) * TR
         pad = Np - N
@@ -256,11 +265,22 @@ def build_anyhit_kernel(blocks: SphereBlocks, interpret=False):
         bl_s[:] = jnp.zeros((TR, 1), f32)
 
         def body(g, carry):
-            hit = _env_hit(px, py, pz, dx, dy, dz,
-                           bounds_ref[g, 0], bounds_ref[g, 1],
-                           bounds_ref[g, 2], bounds_ref[g, 3])
+            # limit-aware cull: skip the block when no UNBLOCKED ray's
+            # bound entry lies within its shadow limit
+            ex = bounds_ref[g, 0] - px
+            ey = bounds_ref[g, 1] - py
+            ez = bounds_ref[g, 2] - pz
+            s = ex * dx + ey * dy + ez * dz
+            q = ex * ex + ey * ey + ez * ez - bounds_ref[g, 3]
+            disc = s * s - q
+            hit = (disc >= 0) & ((s < 0) | (q < 0))
+            te = jnp.where(hit,
+                           jnp.maximum(-s - jnp.sqrt(
+                               jnp.where(disc >= 0, disc, 0.0)), 0.0),
+                           INF)
+            want = (te <= lim) & (bl_s[:] == 0.0)
 
-            @pl.when(jnp.any(hit))
+            @pl.when(jnp.any(want))
             def _():
                 cand = _sphere_cands(px, py, pz, dx, dy, dz,
                                      tab_ref[g], eps)
@@ -271,10 +291,9 @@ def build_anyhit_kernel(blocks: SphereBlocks, interpret=False):
         jax.lax.fori_loop(0, G, body, 0)
         out_r[:] = bl_s[:]
 
-    bounds = jnp.asarray(blocks.bounds)
-    table = jnp.asarray(blocks.table)
-
     def fn(p, d, limit):
+        bounds = jnp.asarray(blocks.bounds)
+        table = jnp.asarray(blocks.table)
         N = p.shape[0]
         Np = -(-N // TR) * TR
         pad = Np - N

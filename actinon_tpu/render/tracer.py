@@ -1307,11 +1307,13 @@ class Tracer:
             interp = self.use_bigscene_interpret
             rows_padded = np.zeros(blocks.G * pb.LB, np.int32)
             rows_padded[:blocks.n] = blocks.rows
+            # rows_padded stays NUMPY: a jnp constant created while the
+            # first caller is inside a jit trace would be a leaked tracer
             self._big = (blocks,
                          pb.build_top2_kernel(blocks, interpret=interp),
                          pb.build_anyhit_kernel(blocks,
                                                 interpret=interp),
-                         jnp.asarray(rows_padded))
+                         rows_padded)
         return self._big
 
     def _single_chunks(self, matter_only, R=None, exclude_big=False):
@@ -1368,7 +1370,7 @@ class Tracer:
             _, top2, _, rows_padded = self._bigscene()
             t2k, gik = top2(p, d)
             best_t = t2k[:, :kw].astype(dt)
-            best_row = rows_padded[gik[:, :kw]]
+            best_row = jnp.asarray(rows_padded)[gik[:, :kw]]
         for rows in self._single_chunks(matter_only, R,
                                         exclude_big=use_big):
             a = self._chunk_candidates(tabs, rows, p, d)

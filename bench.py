@@ -141,9 +141,15 @@ def _bench_forward(name, cfg5, batch=1 << 15, integ=None):
     t0 = time.time()
     integ.run_samples(base)            # warmup/compile
     warmup = time.time() - t0
+    # time enough passes to amortize the per-pass fixed costs (drain
+    # chunk dispatches + result fetch each cost a tunnel round trip):
+    # a single 0.2 s draft pass would measure latency, not throughput
     integ.rays_traced = 0
     t0 = time.time()
-    integ.run_samples(base + 1e-4)
+    passes = 0
+    while passes < 2 or (time.time() - t0 < 2.0 and passes < 12):
+        passes += 1
+        integ.run_samples(base + passes * 1e-4)
     dt = time.time() - t0
     return integ.rays_traced / dt, warmup
 

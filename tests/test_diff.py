@@ -540,9 +540,29 @@ class TestEdgeAwareQuadricAndLight:
         assert abs(g_ad - g_fd) <= 0.3 * abs(g_fd), (g_ad, g_fd)
 
     def test_sphere_edge_vs_ellipsoid_light_matches_fd(self):
-        # occluder sphere is sph row 0 (the light is a quadric)
-        val, g_ad, g_fd = self._grads(self._scene_ellipsoid_light(),
-                                      ("sph_c", 0), band=(-0.3, 0.5))
-        assert np.isfinite(val)
-        assert abs(g_fd) > 1e-3
-        assert abs(g_ad - g_fd) <= 0.35 * abs(g_fd), (g_ad, g_fd)
+        import os
+        import subprocess
+        import sys
+        if os.environ.get("ACTINON_EDGE_CHILD"):
+            # occluder sphere is sph row 0 (the light is a quadric)
+            val, g_ad, g_fd = self._grads(self._scene_ellipsoid_light(),
+                                          ("sph_c", 0), band=(-0.3, 0.5))
+            assert np.isfinite(val)
+            assert abs(g_fd) > 1e-3
+            assert abs(g_ad - g_fd) <= 0.35 * abs(g_fd), (g_ad, g_fd)
+            return
+        # XLA:CPU deterministically SEGFAULTS compiling this test's VJP
+        # when the rest of this file's compilations ran in the same
+        # process (reproduced at jax 0.8.x: backend_compile_and_load
+        # crashes; standalone the same program compiles and passes every
+        # time).  Run it in a fresh interpreter until the upstream
+        # compiler bug is fixed.
+        env = dict(os.environ)
+        env["ACTINON_EDGE_CHILD"] = "1"
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest",
+             __file__ + "::TestEdgeAwareQuadricAndLight::"
+             "test_sphere_edge_vs_ellipsoid_light_matches_fd",
+             "-q", "-p", "no:cacheprovider"],
+            env=env, capture_output=True, text=True, timeout=900)
+        assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-800:])
