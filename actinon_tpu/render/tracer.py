@@ -63,6 +63,17 @@ CHUNK = 1024           # single-leaf candidate chunk (running top-2)
 SDF_CROSSINGS = 4      # bounded crossing count for SDF leaves inside CSG
 
 
+def _env_clip_marches():
+    """Envelope-clipped SDF marches apply off-CPU only: a march started
+    at the envelope entry converges to a crossing offset that differs
+    from the origin-started march at O(eps), and the CPU golden corpus
+    pins the origin-started behavior bit-exactly.  (The clip is the TPU
+    production-path analog of the reference's envelope early-outs,
+    obj_ray_hit src/objects.c:261-284.)"""
+    import jax as _jax
+    return _jax.default_backend() != "cpu"
+
+
 def _norm3(v):
     # zero-input and sqrt(0) cotangents are masked so reverse-mode AD
     # never produces 0*inf = NaN (see diff.py)
@@ -844,13 +855,22 @@ class Tracer:
                       - self.eps, INF)
         return a, nor
 
-    def _sdf_crossings(self, lf: sir.Leaf, p, d, k: int):
+    def _sdf_crossings(self, lf: sir.Leaf, p, d, k: int, t_start=None,
+                       t_stop=None, alive=None):
         """Up to k forward surface crossings of an SDF leaf along p+td
         (world offsets, INF-padded) — the crossing supply for SDF leaves
         inside CSG composites (reference pair-marching accepts any child
         object, src/objects.c:1052-1094).  Each crossing is found by a
         bounded march; the next march restarts just past the surface
-        shell."""
+        shell.
+
+        t_start/t_stop/alive (world offsets / mask) clip the march to
+        the owning composite's envelope interval, mirroring the
+        reference's envelope early-outs (obj_ray_hit, src/objects.c:
+        261-284): rays that miss the envelope never march, and marches
+        start at the envelope entry instead of the ray origin — on
+        hanging_lamp the unclipped form marched 75 scanned lamp members
+        x 4 crossings x up-to-200 cycles for every ray in the batch."""
         dt = self.dtype
         if self.diff:
             p = jax.lax.stop_gradient(p)
@@ -859,16 +879,35 @@ class Tracer:
         pl, dl, dn = self._sdf_local(lf, p, d)
         dn_safe = jnp.where(dn > 0, dn, 1.0)
         out = []
-        offs = jnp.zeros((R,), dt)
-        dead = jnp.zeros((R,), bool)
+        if t_start is None:
+            offs = jnp.zeros((R,), dt)
+        else:
+            offs = jnp.maximum(t_start, 0.0) * dn
+        dead = jnp.zeros((R,), bool) if alive is None else ~alive
+        stop_l = None if t_stop is None else t_stop * dn
         for _ in range(k):
             offs_l, dist = self._sdf_march(lf, pl, dl, offs, dead)
             hit = (~dead) & (jnp.abs(dist) <= self.eps)
+            if stop_l is not None:
+                hit = hit & (offs_l <= stop_l)
             t_world = jnp.where(hit & (offs_l > 0), offs_l / dn_safe, INF)
             out.append(t_world)
             dead = dead | ~hit
             offs = offs_l + 4.0 * self.eps   # step through the eps shell
         return jnp.stack(out, axis=-1)       # [R, k]
+
+    def _env_interval(self, env_c, env_r, p, d):
+        """(gate, t_in, t_out) of the envelope sphere along p+td; t_in
+        clamped to 0 when starting inside."""
+        pp = p - env_c
+        s = _dot(pp, d)
+        q = _dot(pp, pp) - env_r * env_r
+        disc = s * s - q
+        gate = (disc >= 0) & ((s < 0) | (q < 0))
+        root = safe_sqrt(jnp.maximum(disc, 0.0))
+        t_in = jnp.maximum(-s - root, 0.0)
+        t_out = -s + root
+        return gate, t_in, t_out
 
     # -- composite objects -----------------------------------------------
 
@@ -906,10 +945,22 @@ class Tracer:
                 cross_cols.append(t1u[:, ai]); leaf_of_col.append(li)
                 inside[li] = Cq[:, ai] <= 0   # side(p) = C
                 ai += 1
+        gate = t_in = t_out = None
+        if comp.env_c is not None and comp.env_r > 0 \
+                and any(lf is not None for lf in comp.sdf_leaves) \
+                and _env_clip_marches():
+            ec = jnp.asarray(np.asarray(comp.env_c, self.dtype))
+            gate, t_in, t_out = self._env_interval(
+                ec, self.dtype.type(comp.env_r), p, d)
+            slack = 8.0 * self.eps
+            t_in = jnp.maximum(t_in - slack, 0.0)
+            t_out = t_out + slack
         for li, lf in enumerate(comp.sdf_leaves):
             if lf is None:
                 continue
-            ts = self._sdf_crossings(lf, p, d, SDF_CROSSINGS)
+            ts = self._sdf_crossings(lf, p, d, SDF_CROSSINGS,
+                                     t_start=t_in, t_stop=t_out,
+                                     alive=gate)
             for kk in range(SDF_CROSSINGS):
                 cross_cols.append(ts[:, kk]); leaf_of_col.append(li)
             plq = jnp.einsum("ij,rj->ri", jnp.asarray(lf.m.astype(self.dtype)),
@@ -1026,6 +1077,16 @@ class Tracer:
         cross_cols = []
         leaf_of_col = []
         inside = [None] * Lc
+        gate = t_in = t_out = None
+        if "env_c" in x:
+            gate, t_in, t_out = self._env_interval(x["env_c"], x["env_r"],
+                                                   p, d)
+            if _env_clip_marches():
+                slack = 8.0 * self.eps
+                t_in = jnp.maximum(t_in - slack, 0.0)
+                t_out = t_out + slack
+            else:
+                t_in = t_out = None
         if "arows" in x:
             A, Bq, Cq, _, _ = self._quads(tabs, x["arows"], p, d)
             t0u, t1u, _, _, _, _ = self._roots(A, Bq, Cq)
@@ -1040,7 +1101,10 @@ class Tracer:
         for li in sdf_slots:
             lf = _LeafP(proto.sdf_leaves[li], x[f"m{li}"], x[f"m0{li}"],
                         x[f"prm{li}"])
-            ts = self._sdf_crossings(lf, p, d, SDF_CROSSINGS)
+            # march only within the composite's envelope interval
+            ts = self._sdf_crossings(lf, p, d, SDF_CROSSINGS,
+                                     t_start=t_in, t_stop=t_out,
+                                     alive=gate)
             for kk in range(SDF_CROSSINGS):
                 cross_cols.append(ts[:, kk]); leaf_of_col.append(li)
             plq = jnp.einsum("ij,rj->ri",
@@ -1054,14 +1118,6 @@ class Tracer:
             proto.tree, cross[:, None, :],
             np.asarray(leaf_of_col, np.int32), inside0[:, None, :])
         hit_t, leaf_loc = hit_t[:, 0], leaf_loc[:, 0]
-        gate = None
-        if "env_c" in x:
-            ec, er = x["env_c"], x["env_r"]
-            pp = p - ec
-            s = _dot(pp, d)
-            q = _dot(pp, pp) - er ** 2
-            disc = s * s - q
-            gate = (disc >= 0) & ((s < 0) | (q < 0))
         return hit_t, leaf_loc, gate
 
     def _solo_scan_hit(self, cluster, tabs, p, d):

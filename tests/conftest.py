@@ -13,6 +13,20 @@ and hang whenever the tunnel is busy.
 
 import os
 
+# XLA:CPU compilation of the larger drain programs overflows the default
+# 8 MB main-thread stack once enough compilations ran in one process —
+# observed as deterministic mid-suite SIGSEGVs inside
+# backend_compile_and_load at a consistent suite position while every
+# crashing test passed standalone.  The main stack grows on demand up to
+# the soft limit, so raising it at startup fixes the whole run.
+import resource
+
+try:
+    _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+    resource.setrlimit(resource.RLIMIT_STACK, (_hard, _hard))
+except (ValueError, OSError):
+    pass
+
 # harmless for subprocesses that haven't imported jax yet
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
