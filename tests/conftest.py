@@ -43,3 +43,18 @@ jax.config.update("jax_enable_x64", True)
 from actinon_tpu import compile_cache
 
 compile_cache.enable()
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Release compiled executables between test modules.  XLA:CPU
+    segfaults inside backend_compile_and_load at a consistent point deep
+    into a full-suite run (the crashing test always passes standalone;
+    an unlimited stack does not help) — an accumulation bug in the
+    compiler/runtime.  Dropping the executable and tracing caches at
+    module boundaries keeps any single process's accumulated compile
+    state bounded."""
+    yield
+    jax.clear_caches()
