@@ -67,9 +67,12 @@ import numpy as np
 CPU_PINS = {
     "wine_glass": 2.28e6,
     "primitives": 1.097e6,      # measured 2026-08-21
-    "many_spheres": None,       # CPU run exceeds 2000 s; re-measure
+    # the many_spheres CPU pin run exceeds 50 min of XLA:CPU compile on
+    # this 2-core host before the timed pass starts; no honest number
+    # yet (the TPU leg reports absolute qps regardless)
+    "many_spheres": None,
     "diamond": 4.51e4,          # measured 2026-08-21
-    "hanging_lamp": None,       # CPU run exceeds 2000 s; re-measure
+    "hanging_lamp": 899.7,      # measured 2026-08-21 (SDF-march bound)
 }
 CPU_BASELINE_QPS = CPU_PINS["wine_glass"]
 
