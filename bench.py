@@ -378,7 +378,12 @@ def main():
         i = sys.argv.index("--cpu-pin")
         scene = sys.argv[i + 1] if len(sys.argv) > i + 1 \
             and not sys.argv[i + 1].startswith("-") else "wine_glass"
-        qps, warm = _bench_forward(scene, SCENES[scene])
+        # XLA:CPU's buffer assignment for the 32k-leaf traversal at the
+        # TPU batch width asks for 139 GB (temps scale batch x
+        # leaf-chunks); CPU throughput is batch-insensitive, so pin the
+        # big scene at a width its buffer plan can afford
+        batch = (1 << 12) if scene == "many_spheres" else (1 << 15)
+        qps, warm = _bench_forward(scene, SCENES[scene], batch=batch)
         print(json.dumps({"metric": f"cpu_pin_{scene}",
                           "value": round(qps, 1), "unit": "queries/s",
                           "warmup_s": round(warm, 1)}))
