@@ -67,10 +67,9 @@ import numpy as np
 CPU_PINS = {
     "wine_glass": 2.28e6,
     "primitives": 1.097e6,      # measured 2026-08-21
-    # the many_spheres CPU pin run exceeds 50 min of XLA:CPU compile on
-    # this 2-core host before the timed pass starts; no honest number
-    # yet (the TPU leg reports absolute qps regardless)
-    "many_spheres": None,
+    "many_spheres": 1.875e3,    # measured 2026-08-21 (batch 4096: the
+                                # TPU-width run OOMs XLA:CPU's buffer
+                                # plan; CPU throughput is batch-flat)
     "diamond": 4.51e4,          # measured 2026-08-21
     "hanging_lamp": 899.7,      # measured 2026-08-21 (SDF-march bound)
 }
