@@ -213,13 +213,29 @@ def _mfu_estimate(qps):
     lanes_per_s = qps / per_ray            # queries/s -> step lanes/s
     achieved_flops = flops / B * lanes_per_s
     achieved_bytes = bytes_ / B * lanes_per_s
-    return {
+    out = {
         "step_flops_per_lane": round(flops / B, 1),
         "achieved_tflops": round(achieved_flops / 1e12, 3),
         "mfu_vs_bf16_peak_197tf": round(achieved_flops / 197e12, 4),
         "achieved_gbps": round(achieved_bytes / 1e9, 1),
         "vs_hbm_819gbps": round(achieved_bytes / 819e9, 4),
     }
+    # Pallas custom calls are INVISIBLE to XLA cost analysis, yet on the
+    # production path the fused NEE kernel carries most of the per-lane
+    # math — report its analytic flop estimate alongside (PROFILE_r04.md
+    # discusses why percent-of-MXU-peak is the wrong axis for a ray
+    # tracer: this is divergent VPU traversal work, not matmuls)
+    if integ._nee_kernel_fn() is not None:
+        from actinon_tpu.render import pallas_kernels as pk
+        singles, comps, _ = pk.kernel_coverage(integ.tr, matter_only=True)
+        per_sample = (80.0 + 30.0 * len(singles)
+                      + sum(6.0 * (2 * len(c["leaves"])) ** 2
+                            for c in comps) + 40.0)
+        nee_fpl = integ.n_lights * integ.direct_cap * per_sample
+        out["nee_kernel_flops_per_lane_est"] = round(nee_fpl, 0)
+        out["achieved_tflops_incl_pallas_est"] = round(
+            (flops / B + nee_fpl) * lanes_per_s / 1e12, 3)
+    return out
 
 
 def _pallas_parity():
