@@ -50,6 +50,7 @@ be called inside a jitted integrator.
 from __future__ import annotations
 
 import math
+import os
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -61,6 +62,8 @@ from actinon_tpu.scene import ir as sir
 INF = jnp.inf
 CHUNK = 1024           # single-leaf candidate chunk (running top-2)
 SDF_CROSSINGS = 4      # bounded crossing count for SDF leaves inside CSG
+PAIR_K = 4             # live (ray, member) pair capacity factor: compacted
+                       # cluster evaluation holds PAIR_K * R pairs
 
 
 def _env_clip_marches():
@@ -70,6 +73,19 @@ def _env_clip_marches():
     pins the origin-started behavior bit-exactly.  (The clip is the TPU
     production-path analog of the reference's envelope early-outs,
     obj_ray_hit src/objects.c:261-284.)"""
+    import jax as _jax
+    return _jax.default_backend() != "cpu"
+
+
+def _pair_compact_on():
+    """Gate-compacted (ray, member) solo-cluster evaluation applies
+    off-CPU by default (same policy as _env_clip_marches: the CPU golden
+    corpus pins the member-scan evaluation order bit-exactly).  Override
+    with ACTINON_PAIR_COMPACT=1/0 (tests force it on under CPU for the
+    A/B equivalence check)."""
+    v = os.environ.get("ACTINON_PAIR_COMPACT")
+    if v is not None:
+        return v != "0"
     import jax as _jax
     return _jax.default_backend() != "cpu"
 
@@ -1069,10 +1085,14 @@ class Tracer:
             [c.rows for c in cluster], np.int32))
         return proto, pattern, sdf_slots, xs
 
-    def _solo_body_core(self, proto, pattern, sdf_slots, x, tabs, p, d):
+    def _solo_body_core(self, proto, pattern, sdf_slots, x, tabs, p, d,
+                        alive=None):
         """One member's crossings + parity walk (the exact op sequence of
         _composite_crossings/_walk with traced per-member parameters).
-        Returns (hit_t raw, leaf_loc, env gate or None)."""
+        `alive` (optional [R] bool) ANDs into the envelope gate — the
+        pair-compacted path uses it to keep capacity-fill lanes out of
+        the SDF march loops.  Returns (hit_t raw, leaf_loc, env gate or
+        None)."""
         Lc = len(proto.rows)
         cross_cols = []
         leaf_of_col = []
@@ -1081,6 +1101,8 @@ class Tracer:
         if "env_c" in x:
             gate, t_in, t_out = self._env_interval(x["env_c"], x["env_r"],
                                                    p, d)
+            if alive is not None:
+                gate = gate & alive
             if _env_clip_marches():
                 slack = 8.0 * self.eps
                 t_in = jnp.maximum(t_in - slack, 0.0)
@@ -1166,6 +1188,172 @@ class Tracer:
 
         blocked, _ = jax.lax.scan(body, jnp.zeros((R,), bool), xs)
         return blocked
+
+    # -- gate-compacted pair evaluation --------------------------------------
+
+    def _pairs_ok(self, cluster):
+        """The compacted path needs per-member envelopes (the gates ARE
+        the compaction signal) and only pays off for multi-member
+        clusters."""
+        proto = cluster[0]
+        return (_pair_compact_on() and len(cluster) >= 2
+                and not self.diff
+                and proto.env_c is not None and proto.env_r > 0)
+
+    def _pair_select(self, xs, p, d, extra=()):
+        """Live (ray, member) pairs of one cluster: envelope gates [M, R]
+        compacted to the first P = min(M, PAIR_K) * R live pair slots.
+        Returns (xp, pp, dd, r_idx, ok, num, P, m_idx, *extra-gathers) —
+        per-pair member params / ray origin / direction (fill lanes get
+        far-away origins and d = 0 so their envelope gate is False),
+        target ray index, validity mask, true live count, capacity,
+        member index.  Measured
+        sparsity (hanging_lamp camera rays, 8k-ray batch): mean 0.25
+        live members per ray out of 76 — the member-scan evaluates the
+        other 99.7% as envelope-dead march lanes."""
+        R = p.shape[0]
+        M = xs["env_c"].shape[0]
+        gate, _, _ = jax.vmap(
+            lambda c, r: self._env_interval(c, r, p, d))(
+                xs["env_c"], xs["env_r"])                    # [M, R]
+        P = min(M, PAIR_K) * R
+        flat = gate.reshape(-1)
+        num = jnp.sum(flat.astype(jnp.int32))
+        idx = jnp.nonzero(flat, size=P, fill_value=0)[0]
+        ok = jnp.arange(P) < num
+        m_idx = (idx // R).astype(jnp.int32)
+        r_idx = (idx - m_idx * R).astype(jnp.int32)
+        xp = {k: v[m_idx] for k, v in xs.items()}
+        pp = p[r_idx]
+        # fill lanes: origin pushed far outside every envelope and d = 0
+        # -> env gate False -> the march while_loops never iterate them
+        pp = jnp.where(ok[:, None], pp, pp + jnp.asarray(1e8, self.dtype))
+        dd = jnp.where(ok[:, None], d[r_idx], 0.0)
+        ex = tuple(a[r_idx] for a in extra)
+        return (xp, pp, dd, r_idx, ok, num, P, m_idx) + ex
+
+    def _solo_pairs_shadow(self, cluster, tabs, p, d, limit):
+        """Any-hit shadow of a whole shape cluster evaluated only on live
+        (ray, member) envelope pairs: the member axis of the scanned form
+        compacts away, so SDF march work scales with rays-that-can-hit
+        instead of members x rays.  Falls back to the dense scan (ONE
+        lax.cond branch) iff the live pair count overflows the static
+        capacity — the compacted result is exact whenever it is taken."""
+        proto, pattern, sdf_slots, xs = self._cluster_stacks(cluster)
+        R = p.shape[0]
+        M = len(cluster)
+        xp, pp, dd, r_idx, ok, num, P, _m, lim_p = self._pair_select(
+            xs, p, d, extra=(limit,))
+
+        def compact(_):
+            def one(xm, p1, d1, ok1):
+                hit_t, _, g = self._solo_body_core(
+                    proto, pattern, sdf_slots, xm, tabs,
+                    p1[None], d1[None], alive=ok1[None])
+                return hit_t[0], g[0]
+
+            a_p, g_p = jax.vmap(one)(xp, pp, dd, ok)
+            b = ok & g_p & jnp.isfinite(a_p) & (a_p - self.eps <= lim_p)
+            return jnp.zeros((R,), jnp.int32).at[r_idx].max(
+                b.astype(jnp.int32)) > 0
+
+        if M <= PAIR_K:          # capacity covers all pairs: no fallback
+            return compact(None)
+        return jax.lax.cond(
+            num <= P, compact,
+            lambda _: self._solo_scan_shadow(cluster, tabs, p, d, limit),
+            operand=None)
+
+    def _solo_cluster_shadow(self, cluster, tabs, p, d, limit):
+        """Dispatch: pair-compacted off-CPU, member-scanned otherwise."""
+        if self._pairs_ok(cluster):
+            return self._solo_pairs_shadow(cluster, tabs, p, d, limit)
+        return self._solo_scan_shadow(cluster, tabs, p, d, limit)
+
+    def _solo_pairs_hit(self, cluster, tabs, p, d):
+        """Cluster-level TOP-2 boundary hits from live (ray, member)
+        pairs: (a1, row1, oid1, nor1, a2, row2, oid2, nor2), each [R]
+        ([R,3] normals).  Feeding a cluster's top-2 into the global
+        column merge is exact (top-2 of a union = top-2 over per-part
+        top-2s) and replaces M member columns with 2 — oids ride either
+        the winner's table row (analytic winner) or the per-ray member
+        oid (SDF winner, row == -1).  Tie policy matches the scanned
+        form: lowest member index wins (pair ids are member-major).
+        Overflow of the pair capacity falls back to the dense scan
+        reduced the same way (ONE lax.cond)."""
+        proto, pattern, sdf_slots, xs = self._cluster_stacks(cluster)
+        dt = self.dtype
+        R = p.shape[0]
+        M = len(cluster)
+        oid_arr = jnp.asarray(np.asarray([c.oid for c in cluster],
+                                         np.int32))
+        xp, pp, dd, r_idx, ok, num, P, m_idx = self._pair_select(xs, p, d)
+
+        def compact(_):
+            def one(xm, p1, d1, ok1):
+                hit_t, leaf_loc, g = self._solo_body_core(
+                    proto, pattern, sdf_slots, xm, tabs,
+                    p1[None], d1[None], alive=ok1[None])
+                if g is not None:
+                    hit_t = jnp.where(g, hit_t, INF)
+                row = xm["rows_map"][leaf_loc]
+                a = jnp.where(jnp.isfinite(hit_t), hit_t - self.eps, INF)
+                t_safe = jnp.where(jnp.isfinite(a), a, 0.0)
+                hx = p1[None] + d1[None] * t_safe[:, None]
+                nor = jnp.zeros((1, 3), dt)
+                for li in sdf_slots:
+                    lf = _LeafP(proto.sdf_leaves[li], xm[f"m{li}"],
+                                xm[f"m0{li}"], xm[f"prm{li}"])
+                    m = jnp.asarray(lf.m.astype(dt))
+                    m0l = jnp.asarray(lf.m0.astype(dt))
+                    ql = jnp.einsum("ij,rj->ri", m, hx) + m0l
+                    nl = self._sdf_normal(lf, ql)
+                    nor = jnp.where((leaf_loc == li)[:, None], nl, nor)
+                return a[0], row[0], nor[0]
+
+            a_p, row_p, nor_p = jax.vmap(one)(xp, pp, dd, ok)
+            a_p = jnp.where(ok, a_p, INF)
+            oid_p = oid_arr[m_idx]
+            pid = jnp.arange(P, dtype=jnp.int32)
+            BIGI = jnp.int32(P)
+            big = jnp.full((R,), INF, dt)
+
+            def winner(av):
+                amin = big.at[r_idx].min(av)
+                isw = jnp.isfinite(av) & (av == amin[r_idx])
+                w = jnp.full((R,), BIGI, jnp.int32).at[r_idx].min(
+                    jnp.where(isw, pid, BIGI))
+                okw = w < BIGI
+                wi = jnp.minimum(w, max(P - 1, 0))
+                row = jnp.where(okw, row_p[wi], -1)
+                oid = jnp.where(okw, oid_p[wi], -1)
+                nor = jnp.where(okw[:, None], nor_p[wi], 0.0)
+                return amin, row, oid, nor, w
+
+            a1, row1, oid1, nor1, w1 = winner(a_p)
+            a_p2 = jnp.where(pid == w1[r_idx], INF, a_p)
+            a2, row2, oid2, nor2, _ = winner(a_p2)
+            return a1, row1, oid1, nor1, a2, row2, oid2, nor2
+
+        def dense(_):
+            a_g, row_g, nor_g = self._solo_scan_hit(cluster, tabs, p, d)
+            aT = jnp.swapaxes(a_g, 0, 1)                  # [R, M]
+            t12, sel = _top2_cols(aT)
+            rowT = jnp.swapaxes(row_g, 0, 1)
+            row12 = jnp.take_along_axis(rowT, sel, axis=1)
+            norT = jnp.swapaxes(nor_g, 0, 1)              # [R, M, 3]
+            nor12 = jnp.take_along_axis(
+                norT, sel[..., None], axis=1)             # [R, 2, 3]
+            oid12 = oid_arr[sel]
+            fin = jnp.isfinite(t12)
+            row12 = jnp.where(fin, row12, -1)
+            oid12 = jnp.where(fin, oid12, -1)
+            return (t12[:, 0], row12[:, 0], oid12[:, 0], nor12[:, 0],
+                    t12[:, 1], row12[:, 1], oid12[:, 1], nor12[:, 1])
+
+        if M <= PAIR_K:
+            return compact(None)
+        return jax.lax.cond(num <= P, compact, dense, operand=None)
 
     # -- batched composite groups ------------------------------------------
 
@@ -1478,8 +1666,15 @@ class Tracer:
         # column order below stays exactly the comp_solo order (argmin
         # tie-breaking between coincident surfaces is order-dependent)
         solo_out = {}
+        pair_out = {}          # first member id -> cluster top-2 columns
+        pair_skip = set()      # other members of pair-compacted clusters
         for cluster in self._solo_clusters():
             if len(cluster) < 2 or (matter_only and cluster[0].is_light):
+                continue
+            if self._pairs_ok(cluster):
+                pair_out[id(cluster[0])] = self._solo_pairs_hit(
+                    cluster, tabs, p, d)
+                pair_skip.update(id(c) for c in cluster[1:])
                 continue
             a_g, row_g, nor_g = self._solo_scan_hit(cluster, tabs, p, d)
             for gi, comp in enumerate(cluster):
@@ -1487,6 +1682,21 @@ class Tracer:
 
         for comp in self.comp_solo:
             if matter_only and comp.is_light:
+                continue
+            p8 = pair_out.pop(id(comp), None)
+            if p8 is not None:
+                # 2 columns carry the whole cluster's top-2; oid is a
+                # per-ray array (winner member varies by ray)
+                for a_c, row_c, oid_c, nor_c in (p8[0:4], p8[4:8]):
+                    if lane_matter is not None and comp.is_light:
+                        a_c = jnp.where(lane_matter, INF, a_c)
+                    k = len(cols_t)
+                    cols_t.append(a_c)
+                    cols_row.append(row_c)
+                    oid_special.append((k, oid_c))
+                    nor_ovr.append((k, nor_c))
+                continue
+            if id(comp) in pair_skip:
                 continue
             got = solo_out.get(id(comp))
             if got is not None:
@@ -1576,7 +1786,10 @@ class Tracer:
             nor = jnp.zeros((R, kw, 3), dt)
             oid12 = jnp.zeros((R, kw), jnp.int32)
         for k, oc in oid_special:
-            oid12 = jnp.where((sel == k) & (row12 == -1), oc, oid12)
+            # oc: static int, or a per-ray [R] array (pair-compacted
+            # cluster columns, whose winner member varies by ray)
+            ocb = oc if np.isscalar(oc) else oc[:, None]
+            oid12 = jnp.where((sel == k) & (row12 == -1), ocb, oid12)
         for k, n_ovr in nor_ovr:
             use = (sel == k)[..., None] & (row12 == -1)[..., None]
             nor = jnp.where(use, n_ovr[:, None, :], nor)
@@ -1711,7 +1924,7 @@ class Tracer:
                 # non-Pallas path's solo-cluster scan
                 for cluster in self._shape_clusters(rest):
                     if len(cluster) >= 2:
-                        blocked = blocked | self._solo_scan_shadow(
+                        blocked = blocked | self._solo_cluster_shadow(
                             cluster, tabs, p, d, limit)
                     else:
                         blocked = blocked | self._shadow_composite(
@@ -1741,8 +1954,8 @@ class Tracer:
         for cluster in self._solo_clusters():
             if len(cluster) < 2 or cluster[0].is_light:
                 continue
-            blocked = blocked | self._solo_scan_shadow(cluster, tabs, p,
-                                                       d, limit)
+            blocked = blocked | self._solo_cluster_shadow(cluster, tabs,
+                                                          p, d, limit)
             scanned.update(id(c) for c in cluster)
         for comp in self.comp_solo:
             if comp.is_light or id(comp) in scanned:

@@ -37,6 +37,7 @@ def _cluster_scene(n=3):
                           Neg(Sphere(0.35)))
         comp.rotate(rot_y(2 * math.pi * k / max(n, 1) / 3))
         comp.move(v3(3.0 * k - 3.0, 0.4 * k, 0))
+        comp.set_auto_envelope()
         sc.push(comp)
     return sc
 
@@ -108,3 +109,71 @@ def test_scan_vs_unrolled_grad():
     g_u = np.asarray(jax.grad(lambda pp: mean_t(tr_u, pp))(p))
     assert np.abs(g_s).max() > 0
     np.testing.assert_allclose(g_s, g_u, rtol=1e-12, atol=1e-12)
+
+
+def test_pair_compact_vs_scan_shadow(monkeypatch):
+    """A/B: the gate-compacted (ray, member) pair shadow equals the
+    member-scanned form bit-exactly, including when the live pair count
+    overflows capacity (the lax.cond fallback)."""
+    monkeypatch.setenv("ACTINON_PAIR_COMPACT", "1")
+    tr_s, _ = _tracers()
+    cl = [c for c in tr_s._solo_clusters() if len(c) >= 2]
+    cl = [c for c in cl if tr_s._pairs_ok(c)]
+    assert cl, "scene must produce a pair-compactable cluster " \
+        "(members need envelopes)"
+    p, d = _rays(n=256, seed=11)
+    limit = np.random.default_rng(13).uniform(0.1, 12.0, len(p))
+    tabs = tr_s._assemble()
+    for c in cl:
+        dense = np.asarray(tr_s._solo_scan_shadow(c, tabs, p, d, limit))
+        comp = np.asarray(tr_s._solo_pairs_shadow(c, tabs, p, d, limit))
+        assert dense.any(), "degenerate: no blocked rays"
+        np.testing.assert_array_equal(comp, dense)
+    # whole-query equivalence under jit (the production entry)
+    b_pair = np.asarray(jax.jit(tr_s.shadow_blocked)(p, d, limit))
+    monkeypatch.setenv("ACTINON_PAIR_COMPACT", "0")
+    tr_u = _tracers()[0]
+    b_scan = np.asarray(jax.jit(tr_u.shadow_blocked)(p, d, limit))
+    np.testing.assert_array_equal(b_pair, b_scan)
+
+
+def test_pair_compact_overflow_fallback(monkeypatch):
+    """Force a 1-slot capacity so every batch overflows: the cond must
+    take the dense branch and stay exact."""
+    import actinon_tpu.render.tracer as T
+    monkeypatch.setenv("ACTINON_PAIR_COMPACT", "1")
+    monkeypatch.setattr(T, "PAIR_K", 0, raising=True)
+    tr, _ = _tracers()
+    cl = [c for c in tr._solo_clusters()
+          if len(c) >= 2 and tr._pairs_ok(c)]
+    assert cl
+    p, d = _rays(n=128, seed=17)
+    limit = np.full(len(p), 8.0)
+    tabs = tr._assemble()
+    for c in cl:
+        comp = np.asarray(tr._solo_pairs_shadow(c, tabs, p, d, limit))
+        dense = np.asarray(tr._solo_scan_shadow(c, tabs, p, d, limit))
+        np.testing.assert_array_equal(comp, dense)
+
+
+def test_pair_compact_vs_scan_nearest(monkeypatch):
+    """A/B: pair-compacted cluster top-2 columns vs the member-scanned
+    columns through the full nearest / transition query."""
+    monkeypatch.setenv("ACTINON_PAIR_COMPACT", "0")
+    tr_scan, _ = _tracers()
+    monkeypatch.setenv("ACTINON_PAIR_COMPACT", "1")
+    tr_pair, _ = _tracers()
+    assert any(tr_pair._pairs_ok(c) for c in tr_pair._solo_clusters())
+    p, d = _rays(n=300, seed=21)
+    o_s = [np.asarray(x) for x in
+           tr_scan.nearest(p, d, matter_only=False, rng_rough=False)]
+    o_p = [np.asarray(x) for x in
+           tr_pair.nearest(p, d, matter_only=False, rng_rough=False)]
+    np.testing.assert_array_equal(o_s[2], o_p[2])        # oid
+    np.testing.assert_array_equal(o_s[3], o_p[3])        # sign
+    np.testing.assert_allclose(o_s[0], o_p[0], rtol=1e-7, atol=1e-8)
+    np.testing.assert_allclose(o_s[1], o_p[1], rtol=1e-7, atol=1e-8)
+    t_s = [np.asarray(x) for x in tr_scan.trans_hit(p, d)]
+    t_p = [np.asarray(x) for x in tr_pair.trans_hit(p, d)]
+    for a, b in zip(t_s, t_p):
+        np.testing.assert_allclose(a, b, rtol=1e-7, atol=1e-8)
