@@ -1257,6 +1257,8 @@ class Tracer:
             return jnp.zeros((R,), jnp.int32).at[r_idx].max(
                 b.astype(jnp.int32)) > 0
 
+        if P == 0:               # degenerate capacity: dense only
+            return self._solo_scan_shadow(cluster, tabs, p, d, limit)
         if M <= PAIR_K:          # capacity covers all pairs: no fallback
             return compact(None)
         return jax.lax.cond(
@@ -1348,9 +1350,14 @@ class Tracer:
             fin = jnp.isfinite(t12)
             row12 = jnp.where(fin, row12, -1)
             oid12 = jnp.where(fin, oid12, -1)
+            # miss columns carry junk normals (computed at t=0); zero
+            # them like the compacted form so both branches agree
+            nor12 = jnp.where(fin[..., None], nor12, 0.0)
             return (t12[:, 0], row12[:, 0], oid12[:, 0], nor12[:, 0],
                     t12[:, 1], row12[:, 1], oid12[:, 1], nor12[:, 1])
 
+        if P == 0:               # degenerate capacity: dense only
+            return dense(None)
         if M <= PAIR_K:
             return compact(None)
         return jax.lax.cond(num <= P, compact, dense, operand=None)
@@ -1686,7 +1693,15 @@ class Tracer:
             p8 = pair_out.pop(id(comp), None)
             if p8 is not None:
                 # 2 columns carry the whole cluster's top-2; oid is a
-                # per-ray array (winner member varies by ray)
+                # per-ray array (winner member varies by ray).  NOTE:
+                # collapsing a cluster's M columns to 2 at the first
+                # member's position changes the global argmin COLUMN
+                # ORDER, so an exact tie between a cluster member and a
+                # later non-cluster column can pick a different winner
+                # than the member-scanned form.  Accepted: pair
+                # compaction is off on the CPU golden path
+                # (_pair_compact_on), and the TPU-f32 corpus pins the
+                # compacted order (tests/golden_tpu_hashes.json).
                 for a_c, row_c, oid_c, nor_c in (p8[0:4], p8[4:8]):
                     if lane_matter is not None and comp.is_light:
                         a_c = jnp.where(lane_matter, INF, a_c)

@@ -154,26 +154,53 @@ def test_pair_compact_overflow_fallback(monkeypatch):
         comp = np.asarray(tr._solo_pairs_shadow(c, tabs, p, d, limit))
         dense = np.asarray(tr._solo_scan_shadow(c, tabs, p, d, limit))
         np.testing.assert_array_equal(comp, dense)
+    # the nearest-side dense fallback (_solo_pairs_hit's top-2
+    # reduction of the scanned columns) must agree with the compacted
+    # form taken at full capacity (round-4 advisor finding: the hit-side
+    # cond had no overflow coverage)
+    for c in cl:
+        lo = [np.asarray(x) for x in
+              tr._solo_pairs_hit(c, tabs, p, d)]       # PAIR_K=0: dense
+        monkeypatch.setattr(T, "PAIR_K", 64, raising=True)
+        hi = [np.asarray(x) for x in
+              tr._solo_pairs_hit(c, tabs, p, d)]       # all pairs live
+        monkeypatch.setattr(T, "PAIR_K", 0, raising=True)
+        # same ulp band as the scan-vs-unroll tests: per-pair vs
+        # per-member batching reorders the f64 contraction
+        for a, b in zip(lo, hi):
+            np.testing.assert_allclose(a, b, rtol=1e-7, atol=1e-8)
 
 
 def test_pair_compact_vs_scan_nearest(monkeypatch):
     """A/B: pair-compacted cluster top-2 columns vs the member-scanned
-    columns through the full nearest / transition query."""
+    columns through the full nearest / transition query.
+
+    _pairs_ok reads ACTINON_PAIR_COMPACT at TRACE time (inside
+    nearest/trans_hit), not at Tracer construction — the env var must be
+    flipped around every query call or both tracers silently take the
+    same path (round-4 advisor finding: the A/B was comparing the
+    compacted path to itself)."""
     monkeypatch.setenv("ACTINON_PAIR_COMPACT", "0")
     tr_scan, _ = _tracers()
-    monkeypatch.setenv("ACTINON_PAIR_COMPACT", "1")
     tr_pair, _ = _tracers()
+    monkeypatch.setenv("ACTINON_PAIR_COMPACT", "1")
     assert any(tr_pair._pairs_ok(c) for c in tr_pair._solo_clusters())
     p, d = _rays(n=300, seed=21)
+    monkeypatch.setenv("ACTINON_PAIR_COMPACT", "0")
+    assert not tr_scan._pairs_ok(tr_scan._solo_clusters()[0])
     o_s = [np.asarray(x) for x in
            tr_scan.nearest(p, d, matter_only=False, rng_rough=False)]
+    monkeypatch.setenv("ACTINON_PAIR_COMPACT", "1")
+    assert tr_pair._pairs_ok(tr_pair._solo_clusters()[0])
     o_p = [np.asarray(x) for x in
            tr_pair.nearest(p, d, matter_only=False, rng_rough=False)]
     np.testing.assert_array_equal(o_s[2], o_p[2])        # oid
     np.testing.assert_array_equal(o_s[3], o_p[3])        # sign
     np.testing.assert_allclose(o_s[0], o_p[0], rtol=1e-7, atol=1e-8)
     np.testing.assert_allclose(o_s[1], o_p[1], rtol=1e-7, atol=1e-8)
+    monkeypatch.setenv("ACTINON_PAIR_COMPACT", "0")
     t_s = [np.asarray(x) for x in tr_scan.trans_hit(p, d)]
+    monkeypatch.setenv("ACTINON_PAIR_COMPACT", "1")
     t_p = [np.asarray(x) for x in tr_pair.trans_hit(p, d)]
     for a, b in zip(t_s, t_p):
         np.testing.assert_allclose(a, b, rtol=1e-7, atol=1e-8)
