@@ -139,13 +139,21 @@ def _sphere_cands(px, py, pz, dx, dy, dz, blk, eps):
 
 
 def _env_hit(px, py, pz, dx, dy, dz, bcx, bcy, bcz, br2):
-    """(TR,1) block-bound hit-exists test (envelope_s_ray_hits)."""
+    """(TR,1) block-bound hit-exists test (envelope_s_ray_hits).
+
+    s is computed on ex = CENTER - ORIGIN, so the forward condition is
+    s >= 0 (approaching) or q <= 0 (inside) — with the p-c convention it
+    would be s <= 0.  Round-5 fix: the shipped form tested (s < 0) and
+    wrongly CULLED blocks ahead of outside-origin rays; it went unseen
+    because the pl.when(any(hit)) tile gate almost always fired off some
+    other ray of the 256-ray tile (tests/test_bigscene.py now pins the
+    coherent-tile case)."""
     ex = bcx - px
     ey = bcy - py
     ez = bcz - pz
     s = ex * dx + ey * dy + ez * dz
     q = ex * ex + ey * ey + ez * ez - br2
-    return (s * s - q >= 0) & ((s < 0) | (q < 0))
+    return (s * s - q >= 0) & ((s > 0) | (q < 0))
 
 
 def build_top2_kernel(blocks: SphereBlocks, interpret=False):
@@ -266,16 +274,18 @@ def build_anyhit_kernel(blocks: SphereBlocks, interpret=False):
 
         def body(g, carry):
             # limit-aware cull: skip the block when no UNBLOCKED ray's
-            # bound entry lies within its shadow limit
+            # bound entry lies within its shadow limit.  s is on
+            # ex = center - origin, so forward is s > 0 and the entry
+            # offset is s - sqrt(disc) (round-5 sign fix, see _env_hit)
             ex = bounds_ref[g, 0] - px
             ey = bounds_ref[g, 1] - py
             ez = bounds_ref[g, 2] - pz
             s = ex * dx + ey * dy + ez * dz
             q = ex * ex + ey * ey + ez * ez - bounds_ref[g, 3]
             disc = s * s - q
-            hit = (disc >= 0) & ((s < 0) | (q < 0))
+            hit = (disc >= 0) & ((s > 0) | (q < 0))
             te = jnp.where(hit,
-                           jnp.maximum(-s - jnp.sqrt(
+                           jnp.maximum(s - jnp.sqrt(
                                jnp.where(disc >= 0, disc, 0.0)), 0.0),
                            INF)
             want = (te <= lim) & (bl_s[:] == 0.0)

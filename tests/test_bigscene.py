@@ -84,6 +84,33 @@ def test_bigscene_trans_hit(tracers):
     assert agree[both].mean() > 0.995
 
 
+def test_bigscene_coherent_tile(tracers):
+    """A COHERENT ray tile — every ray of the 256-ray kernel tile
+    approaching the scene from far outside along the same axis (a
+    camera-tile shape).  Round-5 regression: the block-cull's sign was
+    inverted on the center-minus-origin convention, so such tiles
+    skipped every block ahead of them (no ray 'moving away or inside'
+    fired the tile gate) and reported all-miss; incoherent random rays
+    masked it."""
+    tr_k, tr_x = tracers
+    n = 512
+    xs = np.linspace(-8, 8, n).astype(np.float32)
+    p = np.stack([xs, np.full(n, -30.0, np.float32),
+                  np.zeros(n, np.float32)], axis=-1)
+    d = np.tile(np.asarray([[0.0, 1.0, 0.0]], np.float32), (n, 1))
+    t_k, _, oid_k, _ = map(np.asarray, tr_k.nearest(p, d, rng_rough=False))
+    t_x, _, oid_x, _ = map(np.asarray, tr_x.nearest(p, d, rng_rough=False))
+    fin = np.isfinite(t_x)
+    assert fin.mean() > 0.3, "tile must actually face the sphere cloud"
+    assert (np.isfinite(t_k) == fin).all()
+    np.testing.assert_allclose(t_k[fin], t_x[fin], rtol=2e-4, atol=2e-4)
+    assert (oid_k[fin] == oid_x[fin]).mean() > 0.995
+    limit = np.full(n, 60.0, np.float32)
+    b_k = np.asarray(tr_k.shadow_blocked(p, d, limit))
+    b_x = np.asarray(tr_x.shadow_blocked(p, d, limit))
+    assert (b_k == b_x).all()
+
+
 def test_bigscene_shadow(tracers):
     tr_k, tr_x = tracers
     p, d = _rays(seed=7)
