@@ -61,6 +61,43 @@ from actinon_tpu.render.tracer import _norm3, _dot
 _SEL_SALT = 0xB5297A4D
 
 
+class EdgeCoverageWarning(UserWarning):
+    """A diff-mode scene contains occluder classes whose silhouette
+    motion the edge-aware NEE boundary term does not cover."""
+
+
+def edge_coverage_gaps(tracer):
+    """Occluder classes in this scene that _nee_edge_terms treats as
+    interior-only (round-4 verdict next #8: surface the gap instead of
+    silently returning zero silhouette gradients).  Returns a set of
+    human-readable class names (empty = full coverage)."""
+    from actinon_tpu.scene import ir as sir
+    tab = tracer.tab
+    gaps = set()
+
+    def quad_covered(c2s, rrs):
+        c2s = np.asarray(c2s, float)
+        if (c2s > 0).all() and rrs < 0:
+            return True                        # ellipsoid
+        z = np.isclose(c2s, 0.0)
+        return bool(z.sum() == 1 and (c2s[~z] > 0).all() and rrs < 0)
+
+    rows = list(np.asarray(tab.qua_rows))
+    keys = {row for row, _k, fam in tab.comp_keys if fam == sir.QUADRIC}
+    for row in rows:
+        if tab.is_light[row] or not (tab.single[row] or row in keys):
+            continue
+        if not quad_covered(tab.c2[row], tab.rr[row]):
+            gaps.add("cone/hyperboloid quadric")
+    if any(not light for *_, light in tracer.sdf_singles):
+        gaps.add("SDF object")
+    for comp in tracer.comp_solo:
+        if not comp.is_light and any(lf is not None
+                                     for lf in comp.sdf_leaves):
+            gaps.add("SDF CSG leaf")
+    return gaps
+
+
 class DiffRenderer:
     """Differentiable radiance estimator over an Integrator's scene.
 
@@ -80,6 +117,17 @@ class DiffRenderer:
         # visibility integral (integrator._nee_edge_terms) so occluder
         # geometry gets correct gradients across shadow edges
         self.edge_aware = edge_aware
+        if edge_aware:
+            gaps = edge_coverage_gaps(self.tr)
+            if gaps:
+                import warnings
+                warnings.warn(
+                    "edge-aware NEE gradients do not cover these "
+                    f"occluder classes in this scene: {sorted(gaps)} — "
+                    "their silhouette motion contributes no gradient "
+                    "(interior terms only; see "
+                    "integrator._nee_edge_terms docstring)",
+                    EdgeCoverageWarning, stacklevel=2)
         # one scan step consumes >= 1 depth unit, so trace_depth bounds
         # the chain length
         self.n_steps = int(integ.cfg.trace_depth) if n_steps is None \

@@ -566,3 +566,78 @@ class TestEdgeAwareQuadricAndLight:
              "-q", "-p", "no:cacheprovider"],
             env=env, capture_output=True, text=True, timeout=900)
         assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-800:])
+
+
+def test_edge_coverage_warning():
+    """Diff-mode scenes with uncovered occluder classes (SDF, cone)
+    must surface an EdgeCoverageWarning; fully covered scenes must not
+    (round-4 verdict next #8)."""
+    import warnings
+    from actinon_tpu.render.diff import (EdgeCoverageWarning,
+                                         edge_coverage_gaps)
+    from actinon_tpu.scene.objects import Squaroid, make_torus
+
+    sc = make_scene()
+    t = make_torus(1.2, 0.3)
+    t.move(v3(4.0, 2.0, 1.0))
+    sc.push(t)
+    cone = Squaroid.cone(1.0, 1.0, 1.0)
+    cone.move(v3(-4.0, 2.0, 1.0))
+    sc.push(cone)
+    integ = Integrator(Tracer(sir.compile_scene(sc), dtype=np.float64),
+                       batch=64)
+    gaps = edge_coverage_gaps(integ.tr)
+    assert "SDF object" in gaps
+    assert "cone/hyperboloid quadric" in gaps
+    with pytest.warns(EdgeCoverageWarning):
+        DiffRenderer(integ, edge_aware=True)
+
+    sc2 = make_scene(lens=True)
+    integ2 = Integrator(Tracer(sir.compile_scene(sc2), dtype=np.float64),
+                        batch=64)
+    assert not edge_coverage_gaps(integ2.tr)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", EdgeCoverageWarning)
+        DiffRenderer(integ2, edge_aware=True)
+
+
+class TestSdfGrads:
+    """Implicit-function gradients through standalone SDF objects
+    (round-4 verdict next #6): the march stays a detached root-finder,
+    but the converged offset carries dt*/dθ = -(∂f/∂θ)/(∂f/∂t)."""
+
+    def _scene_torus(self):
+        from actinon_tpu.scene.objects import make_torus, rot_x
+        sc = make_scene()
+        t = make_torus(1.2, 0.35)
+        t.rotate(rot_x(1.1))
+        t.move(v3(0.8, 0.5, 1.4))
+        sc.push(t)
+        return sc
+
+    def test_sdf_params_exported(self):
+        dr, q0 = setup(self._scene_torus(), n=24, seed=4)
+        g = dr.params()["geom"]
+        assert "sdfs0_m" in g and "sdfs0_m0" in g and "sdfs0_prm" in g
+
+    def test_torus_ex_radius(self):
+        # prm = ex_radius / ring_radius (unit-ring local frame)
+        dr, q0 = setup(self._scene_torus(), n=32, seed=4)
+        fd_check(dr, q0, ("geom", "sdfs0_prm"), 0, 1e-5, 3e-2)
+
+    def test_torus_translate(self):
+        # m0 shifts the local frame: the world-space translation
+        dr, q0 = setup(self._scene_torus(), n=32, seed=5)
+        fd_check(dr, q0, ("geom", "sdfs0_m0"), 2, 1e-5, 3e-2)
+
+    def test_torus_frame(self):
+        # one rotation/scale entry of the local frame matrix
+        dr, q0 = setup(self._scene_torus(), n=32, seed=6)
+        fd_check(dr, q0, ("geom", "sdfs0_m"), 4, 1e-5, 3e-2)
+
+    def test_grad_nonzero(self):
+        dr, q0 = setup(self._scene_torus(), n=32, seed=4)
+        params = dr.params()
+        grads = jax.grad(lambda ps: dr.render_loss(ps, q0))(params)
+        assert float(np.abs(np.asarray(
+            grads["geom"]["sdfs0_prm"]))) > 0
