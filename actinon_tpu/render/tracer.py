@@ -62,6 +62,14 @@ from actinon_tpu.scene import ir as sir
 INF = jnp.inf
 CHUNK = 1024           # single-leaf candidate chunk (running top-2)
 SDF_CROSSINGS = 4      # bounded crossing count for SDF leaves inside CSG
+MARCH_ACCEPT = 1.5     # march acceptance = MARCH_ACCEPT * eps: a step of
+                       # dist+eps overshoots the zero by <= eps for a
+                       # 1-Lipschitz SDF, plus f32 evaluation noise — a
+                       # bare |dist| <= eps drops real crossings whose
+                       # overshoot lands at eps + ulp (observed: grazing
+                       # torus rays losing their first crossing).  The
+                       # reference's f64/1e-6 march never sees this
+                       # (noise ~1e-15); the f32 port needs the margin.
 PAIR_K = 4             # live (ray, member) pair capacity factor: compacted
                        # cluster evaluation holds PAIR_K * R pairs
 
@@ -575,6 +583,8 @@ class Tracer:
             self.big_rows = np.zeros((0,), np.int32)
         self._big = None
         self.use_bigscene_interpret = False   # tests force interpret mode
+        self._scene_k = None
+        self.use_scene_interpret = False      # tests force interpret mode
 
         # jitted entry points for direct (non-integrator) use; the
         # integrator calls the raw methods inside its own jit instead
@@ -595,10 +605,19 @@ class Tracer:
     def geom_params(self):
         """Export the differentiable geometry tables as a dict pytree whose
         keys match the `ovr` names (family arrays for single leaves,
-        per-leaf keys for CSG composite leaves).  SDF leaves are excluded
-        (their march is an iterative root-finder; see _hit_sdf_leaf)."""
+        per-leaf keys for CSG composite leaves).  Standalone SDF objects
+        export their frame/param under `sdfs{i}_*`: the march itself is
+        a detached root-finder, but the converged offset is reattached
+        through the implicit-function tangent dt*/dθ = -(∂f/∂θ)/(∂f/∂t)
+        (see _hit_sdf_leaf).  SDF leaves inside CSG composites remain
+        detached (their crossings feed a discrete parity walk)."""
         t = self.tab
         p = {}
+        for si, (lf, _oid, _ec, _er, _light) in \
+                enumerate(self.sdf_singles):
+            p[f"sdfs{si}_m"] = lf.m
+            p[f"sdfs{si}_m0"] = lf.m0
+            p[f"sdfs{si}_prm"] = np.asarray(lf.sdf_param)
         if len(t.sph_rows):
             p["sph_c"] = t.sph_c
             p["sph_r"] = t.sph_r
@@ -843,11 +862,24 @@ class Tracer:
         nor = _norm3(jnp.einsum("ri,ij->rj", grad, m))
         return -nor if lf.neg else nor
 
-    def _hit_sdf_leaf(self, lf: sir.Leaf, env_c, env_r, p, d):
+    def _hit_sdf_leaf(self, lf: sir.Leaf, env_c, env_r, p, d, si=None):
         """First hit of a standalone SDF object: envelope-clipped entry,
-        bounded march, gradient normal.  Not differentiated (iterative
-        root-finder); in diff mode inputs are detached."""
+        bounded march, gradient normal.
+
+        Differentiation (diff mode, si = sdf_singles index): the march
+        is a detached root-finder for the converged world offset t*, but
+        the hit condition f(t*; θ, p, d) = sdf(M(p + t*d) + m0; prm) = 0
+        defines t* implicitly, so the tangent is closed-form:
+        dt*/dθ = -(∂f/∂θ)/(∂f/∂t) (round-4 verdict next #6).  The
+        offset is reattached as the Newton step t* - f/sg(∂f/∂t): the
+        primal moves by at most the march's acceptance shell (|f| <=
+        1.5 eps — in diff mode only), and the tangent is the
+        implicit-function derivative, so central differences of the
+        SAME function equal the AD gradient — gradients flow into the
+        SDF frame/param (via geom_params overrides sdfs{i}_*) AND into
+        the ray (p, d) for upstream transform terms."""
         dt = self.dtype
+        p_t, d_t = p, d
         if self.diff:
             p = jax.lax.stop_gradient(p)
             d = jax.lax.stop_gradient(d)
@@ -864,11 +896,48 @@ class Tracer:
             offs0w = jnp.zeros((R,), dt)
         pl, dl, dn = self._sdf_local(lf, p + d * offs0w[:, None], d)
         offs_l, dist = self._sdf_march(lf, pl, dl, jnp.zeros((R,), dt), dead)
-        hit = (~dead) & (jnp.abs(dist) <= self.eps)
-        q_local = pl + dl * offs_l[:, None]
-        nor = self._sdf_normal(lf, q_local)
-        a = jnp.where(hit, offs0w + offs_l / jnp.where(dn > 0, dn, 1.0)
-                      - self.eps, INF)
+        hit = (~dead) & (jnp.abs(dist) <= MARCH_ACCEPT * self.eps)
+        t_star = offs0w + offs_l / jnp.where(dn > 0, dn, 1.0)
+        if self.diff and si is not None:
+            sg = jax.lax.stop_gradient
+            hi = jax.lax.Precision.HIGHEST
+            m_t = jnp.asarray(self._t(f"sdfs{si}_m",
+                                      lf.m.astype(dt)), dt)
+            m0_t = jnp.asarray(self._t(f"sdfs{si}_m0",
+                                       lf.m0.astype(dt)), dt)
+            prm_t = jnp.asarray(self._t(f"sdfs{si}_prm",
+                                        np.asarray(lf.sdf_param, dt)), dt)
+            q_w = p_t + d_t * t_star[:, None]
+            ql_t = jnp.einsum("ij,rj->ri", m_t, q_w, precision=hi) + m0_t
+            f = _sdf_eval(lf.sdf_kind, prm_t, ql_t)
+            # detached slope df/dt along the ray: local SDF gradient
+            # (forward differences, objects.c:940-952 form) dotted with
+            # the local direction per world unit
+            ql_d = sg(ql_t)
+            d0 = _sdf_eval(lf.sdf_kind, sg(prm_t), ql_d)
+            ex = jnp.asarray(np.eye(3, dtype=dt))
+            grad_l = jnp.stack(
+                [(_sdf_eval(lf.sdf_kind, sg(prm_t),
+                            ql_d + ex[i] * self.eps) - d0) / self.eps
+                 for i in range(3)], axis=-1)
+            dl_w = jnp.einsum("ij,rj->ri", sg(m_t), d, precision=hi)
+            fp = sg(_dot(grad_l, dl_w))
+            # silhouette-grazing rays have ∂f/∂t -> 0: their implicit
+            # derivative is unbounded (the correct treatment is an edge
+            # term, _nee_edge_terms); gate the reattach to
+            # well-conditioned rays so neither the primal correction
+            # f/fp nor the tangent blows up (|f| <= 1.5 eps at the
+            # converged point, so the gated correction stays <= 150 eps
+            # per local-direction unit)
+            fp_ok = jnp.abs(fp) > 0.01 * sg(dn)
+            fp_safe = jnp.where(fp_ok, fp, 1.0)
+            t_star = t_star - jnp.where(fp_ok, f / fp_safe, 0.0)
+            lf_t = _LeafP(lf, m_t, m0_t, prm_t)
+            nor = self._sdf_normal(lf_t, ql_t)
+        else:
+            q_local = pl + dl * offs_l[:, None]
+            nor = self._sdf_normal(lf, q_local)
+        a = jnp.where(hit, t_star - self.eps, INF)
         return a, nor
 
     def _sdf_crossings(self, lf: sir.Leaf, p, d, k: int, t_start=None,
@@ -903,7 +972,7 @@ class Tracer:
         stop_l = None if t_stop is None else t_stop * dn
         for _ in range(k):
             offs_l, dist = self._sdf_march(lf, pl, dl, offs, dead)
-            hit = (~dead) & (jnp.abs(dist) <= self.eps)
+            hit = (~dead) & (jnp.abs(dist) <= MARCH_ACCEPT * self.eps)
             if stop_l is not None:
                 hit = hit & (offs_l <= stop_l)
             t_world = jnp.where(hit & (offs_l > 0), offs_l / dn_safe, INF)
@@ -1567,6 +1636,94 @@ class Tracer:
                          rows_padded)
         return self._big
 
+    # -- table-driven scene kernel (pallas_scene.py) -------------------------
+
+    def _scene_ok(self):
+        """The packed members-on-lanes traversal kernel applies: plain
+        f32 forward path (no traced overrides / AD), TPU backend (or
+        interpret mode under test)."""
+        if self.dtype != np.float32:
+            return False
+        if self.ovr or self.diff or not getattr(self, "use_pallas", True):
+            return False
+        if self.use_scene_interpret:
+            return True
+        import jax as _jax
+        return _jax.default_backend() != "cpu"
+
+    def _scene_kernels(self):
+        """Lazy (full_table, matter_table, top2_fn, anyhit_fn)."""
+        if self._scene_k is None:
+            from actinon_tpu.render import pallas_scene as ps
+            exclude = self.big_rows if self._bigscene_ok() else None
+            stf = ps.SceneTable(self, matter_only=False,
+                                exclude_rows=exclude)
+            stm = ps.SceneTable(self, matter_only=True,
+                                exclude_rows=exclude)
+            interp = self.use_scene_interpret
+            top2 = anyhit = None
+            if stf.shapes:
+                top2, _ = ps.build_kernels(stf, interpret=interp)
+            if stm.shapes:
+                _, anyhit = ps.build_kernels(stm, interpret=interp)
+            self._scene_k = (stf, stm, top2, anyhit)
+        return self._scene_k
+
+    def _prefer_scene_shadow(self):
+        """Scenes with SDF composites or standalone matter SDFs shadow
+        through the table kernel (their marches run in VMEM); pure
+        analytic small scenes keep the straight-line codegen kernel."""
+        return bool(self.comp_solo) \
+            or any(not light for *_, light in self.sdf_singles)
+
+    def _sdf_normal_dyn(self, kind, prm, m, ql, neg):
+        """Forward-difference SDF gradient normal with PER-RAY frames
+        (the outside-kernel winner reconstruction of the scene kernel;
+        mirrors _sdf_normal, reference src/objects.c:940-952)."""
+        dt = self.dtype
+        eps = self.eps
+        hi = jax.lax.Precision.HIGHEST
+        d0 = _sdf_eval(kind, prm, ql)
+        ex = jnp.asarray(np.eye(3, dtype=dt))
+        grad = jnp.stack([
+            (_sdf_eval(kind, prm, ql + ex[i] * eps) - d0) / eps
+            for i in range(3)], axis=-1)
+        nor = _norm3(jnp.einsum("...i,...ij->...j", grad, m, precision=hi))
+        return -nor if neg else nor
+
+    def _decode_scene(self, st, t12, c12, p, d):
+        """Decode the kernel's packed (shape, member, leaf) winner codes
+        into unified rows / object ids / SDF winner normals."""
+        dt = self.dtype
+        fin = jnp.isfinite(t12)
+        code = jnp.where(fin, c12, -1)
+        shp = code >> 24
+        member = (code >> 8) & 0xFFFF
+        leaf = code & 0xFF
+        rows = jnp.full(code.shape, -1, jnp.int32)
+        oid = jnp.full(code.shape, -1, jnp.int32)
+        nor = jnp.zeros(code.shape + (3,), dt)
+        t_safe = jnp.where(fin, t12, 0.0)
+        x = p[:, None, :] + d[:, None, :] * t_safe[..., None]
+        hi = jax.lax.Precision.HIGHEST
+        for sh in st.shapes:
+            m = (shp == sh.shape_id) & (code >= 0)
+            midx = jnp.clip(member, 0, len(sh.oid) - 1)
+            idxf = jnp.clip(member * sh.Lc + leaf, 0,
+                            len(sh.rows_flat) - 1)
+            rows = jnp.where(m, jnp.asarray(sh.rows_flat)[idxf], rows)
+            oid = jnp.where(m, jnp.asarray(sh.oid)[midx], oid)
+            for (li, kind, cycles, neg) in sh.sdf_slots:
+                sel = m & (leaf == li)
+                mm = jnp.asarray(sh.sdf_m[li].astype(dt))[midx]
+                mm0 = jnp.asarray(sh.sdf_m0[li].astype(dt))[midx]
+                prm = jnp.asarray(sh.sdf_prm[li].astype(dt))[midx]
+                ql = jnp.einsum("...ij,...j->...i", mm, x,
+                                precision=hi) + mm0
+                nli = self._sdf_normal_dyn(kind, prm, mm, ql, neg)
+                nor = jnp.where(sel[..., None], nli, nor)
+        return rows, oid, nor
+
     def _single_chunks(self, matter_only, R=None, exclude_big=False):
         """Static chunk partition of candidate rows (single-leaf objects).
 
@@ -1612,51 +1769,90 @@ class Tracer:
         tabs = self._assemble()
         kw = 2 if want2 else 1
 
-        # 1. single-leaf objects: big-scene kernel seed + chunked
-        # running top-k merge over the remaining rows
-        best_t = jnp.full((R, kw), INF, dt)
-        best_row = jnp.zeros((R, kw), jnp.int32)
+        # 0. packed scene kernel: ONE launch carries singles + grouped
+        # composites + SDF solo clusters as a global top-2; only the
+        # oversized leftovers and the big-scene population remain for
+        # the XLA columns below
         use_big = self._bigscene_ok()
-        if use_big:
-            _, top2, _, rows_padded = self._bigscene()
-            t2k, gik = top2(p, d)
-            best_t = t2k[:, :kw].astype(dt)
-            best_row = jnp.asarray(rows_padded)[gik[:, :kw]]
-        for rows in self._single_chunks(matter_only, R,
-                                        exclude_big=use_big):
-            a = self._chunk_candidates(tabs, rows, p, d)
-            if lane_matter is not None and self.tab.is_light[rows].any():
-                lmask = jnp.asarray(self.tab.is_light[rows])
-                a = jnp.where(lane_matter[:, None] & lmask[None, :], INF, a)
-            if want2:
-                tkc, ikc = _top2_cols(a)
-            else:
-                ikc = jnp.argmin(a, axis=1).astype(jnp.int32)[:, None]
-                tkc = jnp.min(a, axis=1)[:, None]
-            if len(rows) <= 64:
-                rows_f = jnp.asarray(rows, dt)
-                oh = ikc[..., None] == jnp.arange(len(rows),
-                                                  dtype=jnp.int32)
-                rkc = jnp.sum(jnp.where(oh, rows_f, 0), -1).astype(jnp.int32)
-            else:
-                rkc = jnp.asarray(rows)[ikc]
-            cand_t = jnp.concatenate([best_t, tkc], axis=1)
-            cand_r = jnp.concatenate([best_row, rkc], axis=1)
-            if want2:
-                best_t, sel = _top2_cols(cand_t)
-            else:
-                sel = jnp.argmin(cand_t, axis=1)[:, None]
-                best_t = jnp.min(cand_t, axis=1)[:, None]
-            best_row = _take_cols(cand_r, sel)
+        use_scene = self._scene_ok()
+        stf = None
+        if use_scene:
+            stf, _stm, scene_top2, _ah = self._scene_kernels()
+            use_scene = scene_top2 is not None
 
-        # 2. final candidate columns: the kw single winners + one column
-        # per composite + one per standalone SDF object
-        cols_t = [best_t[:, i] for i in range(kw)]
-        cols_row = [best_row[:, i] for i in range(kw)]
+        cols_t = []
+        cols_row = []
         oid_special = []  # (col, const oid) for SDF-surface winners
         nor_ovr = []      # (col, [R,3]) explicit normals (SDF surfaces)
 
-        for members in self.comp_groups:
+        if use_scene:
+            if use_big:
+                _, top2, _, rows_padded = self._bigscene()
+                t2k, gik = top2(p, d)
+                for j in range(kw):
+                    cols_t.append(t2k[:, j].astype(dt))
+                    cols_row.append(jnp.asarray(rows_padded)[gik[:, j]])
+            if matter_only:
+                lmf = jnp.ones((R,), dt)
+            elif lane_matter is not None:
+                lmf = lane_matter.astype(dt)
+            else:
+                lmf = jnp.zeros((R,), dt)
+            t12k, c12k = scene_top2(p, d, lmf)
+            rowk, oidk, nork = self._decode_scene(stf, t12k, c12k, p, d)
+            for j in (0, 1):
+                k = len(cols_t)
+                cols_t.append(t12k[:, j])
+                cols_row.append(rowk[:, j])
+                oid_special.append((k, oidk[:, j]))
+                nor_ovr.append((k, nork[:, j]))
+        else:
+            # 1. single-leaf objects: big-scene kernel seed + chunked
+            # running top-k merge over the remaining rows
+            best_t = jnp.full((R, kw), INF, dt)
+            best_row = jnp.zeros((R, kw), jnp.int32)
+            if use_big:
+                _, top2, _, rows_padded = self._bigscene()
+                t2k, gik = top2(p, d)
+                best_t = t2k[:, :kw].astype(dt)
+                best_row = jnp.asarray(rows_padded)[gik[:, :kw]]
+            for rows in self._single_chunks(matter_only, R,
+                                            exclude_big=use_big):
+                a = self._chunk_candidates(tabs, rows, p, d)
+                if lane_matter is not None \
+                        and self.tab.is_light[rows].any():
+                    lmask = jnp.asarray(self.tab.is_light[rows])
+                    a = jnp.where(lane_matter[:, None] & lmask[None, :],
+                                  INF, a)
+                if want2:
+                    tkc, ikc = _top2_cols(a)
+                else:
+                    ikc = jnp.argmin(a, axis=1).astype(jnp.int32)[:, None]
+                    tkc = jnp.min(a, axis=1)[:, None]
+                if len(rows) <= 64:
+                    rows_f = jnp.asarray(rows, dt)
+                    oh = ikc[..., None] == jnp.arange(len(rows),
+                                                      dtype=jnp.int32)
+                    rkc = jnp.sum(jnp.where(oh, rows_f, 0),
+                                  -1).astype(jnp.int32)
+                else:
+                    rkc = jnp.asarray(rows)[ikc]
+                cand_t = jnp.concatenate([best_t, tkc], axis=1)
+                cand_r = jnp.concatenate([best_row, rkc], axis=1)
+                if want2:
+                    best_t, sel = _top2_cols(cand_t)
+                else:
+                    sel = jnp.argmin(cand_t, axis=1)[:, None]
+                    best_t = jnp.min(cand_t, axis=1)[:, None]
+                best_row = _take_cols(cand_r, sel)
+
+            # 2. final candidate columns: the kw single winners + one
+            # column per composite + one per standalone SDF object
+            cols_t += [best_t[:, i] for i in range(kw)]
+            cols_row += [best_row[:, i] for i in range(kw)]
+
+        groups_iter = stf.rest_groups if use_scene else self.comp_groups
+        for members in groups_iter:
             mf = [c for c in members if not (matter_only and c.is_light)]
             if not mf:
                 continue
@@ -1676,6 +1872,8 @@ class Tracer:
         pair_out = {}          # first member id -> cluster top-2 columns
         pair_skip = set()      # other members of pair-compacted clusters
         for cluster in self._solo_clusters():
+            if use_scene and id(cluster[0]) in stf.covered_solo_ids:
+                continue
             if len(cluster) < 2 or (matter_only and cluster[0].is_light):
                 continue
             if self._pairs_ok(cluster):
@@ -1688,6 +1886,8 @@ class Tracer:
                 solo_out[id(comp)] = (a_g[gi], row_g[gi], nor_g[gi])
 
         for comp in self.comp_solo:
+            if use_scene and id(comp) in stf.covered_solo_ids:
+                continue
             if matter_only and comp.is_light:
                 continue
             p8 = pair_out.pop(id(comp), None)
@@ -1745,10 +1945,13 @@ class Tracer:
                     nor = jnp.where((leaf_loc == li)[:, None], nl, nor)
                 nor_ovr.append((k, nor))
 
-        for lf, oid, env_c, env_r, light in self.sdf_singles:
+        for si, (lf, oid, env_c, env_r, light) in \
+                enumerate(self.sdf_singles):
+            if use_scene and si in stf.covered_sdf_idx:
+                continue
             if matter_only and light:
                 continue
-            a, nor = self._hit_sdf_leaf(lf, env_c, env_r, p, d)
+            a, nor = self._hit_sdf_leaf(lf, env_c, env_r, p, d, si=si)
             if lane_matter is not None and light:
                 a = jnp.where(lane_matter, INF, a)
             k = len(cols_t)
@@ -1926,6 +2129,29 @@ class Tracer:
         p = jnp.asarray(p, dt)
         d = jnp.asarray(d, dt)
         R = p.shape[0]
+        limit = jnp.asarray(limit, dt)
+        # scenes whose shadow cost is march/cluster-bound route through
+        # the packed table kernel; small all-analytic scenes keep the
+        # straight-line codegen kernel below
+        if self._scene_ok() and self._prefer_scene_shadow():
+            _stf, stm, _t2, anyhit = self._scene_kernels()
+            blocked = (anyhit(p, d, limit) if anyhit is not None
+                       else jnp.zeros((R,), bool))
+            if self._bigscene_ok():
+                _, _, bh, _ = self._bigscene()
+                blocked = blocked | bh(p, d, limit)
+            tabs = self._assemble()
+            for mf in stm.rest_groups:
+                a_g, _ = self._group_hit(mf, tabs, p, d)
+                blocked = blocked | jnp.any(a_g <= limit[:, None], axis=1)
+            for cluster in self._shape_clusters(stm.rest_solos):
+                if len(cluster) >= 2:
+                    blocked = blocked | self._solo_cluster_shadow(
+                        cluster, tabs, p, d, limit)
+                else:
+                    blocked = blocked | self._shadow_composite(
+                        cluster[0], tabs, p, d, limit)
+            return blocked
         if self._pallas_ok():
             if not hasattr(self, "_shadow_kernel"):
                 from actinon_tpu.render import pallas_kernels as pk
@@ -2002,9 +2228,10 @@ class Tracer:
             if comp.oid == oid:
                 a, _, _ = self._hit_composite(comp, tabs, p, d)
                 return a
-        for lf, o, env_c, env_r, _light in self.sdf_singles:
+        for si, (lf, o, env_c, env_r, _light) in \
+                enumerate(self.sdf_singles):
             if o == oid:
-                a, _ = self._hit_sdf_leaf(lf, env_c, env_r, p, d)
+                a, _ = self._hit_sdf_leaf(lf, env_c, env_r, p, d, si=si)
                 return a
         raise ValueError(f"object {oid} not found")
 

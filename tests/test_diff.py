@@ -607,37 +607,43 @@ class TestSdfGrads:
     but the converged offset carries dt*/dθ = -(∂f/∂θ)/(∂f/∂t)."""
 
     def _scene_torus(self):
+        # the torus must not touch the other objects: intersecting
+        # surfaces create coincident-hit argmin ties that flip under FD
+        # perturbation (a genuine discontinuity, not a gradient error)
         from actinon_tpu.scene.objects import make_torus, rot_x
         sc = make_scene()
-        t = make_torus(1.2, 0.35)
+        t = make_torus(0.7, 0.2)
         t.rotate(rot_x(1.1))
-        t.move(v3(0.8, 0.5, 1.4))
+        t.move(v3(1.4, 0.8, 1.9))
         sc.push(t)
         return sc
 
+    # seed 6 is a pixel set whose rays actually shade the torus (the
+    # 8x6 image shows it in few pixels; other seeds miss it entirely
+    # and would make the FD checks vacuous 0 == 0 comparisons).  FD
+    # delta is 1e-6: at 1e-5 the perturbation crosses a shadow-edge
+    # visibility boundary (boolean flip, a genuine discontinuity) and
+    # central differences measure the jump instead of the slope
+
     def test_sdf_params_exported(self):
-        dr, q0 = setup(self._scene_torus(), n=24, seed=4)
+        dr, q0 = setup(self._scene_torus(), n=24, seed=6)
         g = dr.params()["geom"]
         assert "sdfs0_m" in g and "sdfs0_m0" in g and "sdfs0_prm" in g
 
     def test_torus_ex_radius(self):
         # prm = ex_radius / ring_radius (unit-ring local frame)
-        dr, q0 = setup(self._scene_torus(), n=32, seed=4)
-        fd_check(dr, q0, ("geom", "sdfs0_prm"), 0, 1e-5, 3e-2)
+        dr, q0 = setup(self._scene_torus(), n=32, seed=6)
+        g_ad, _ = fd_check(dr, q0, ("geom", "sdfs0_prm"), 0, 1e-6, 3e-2)
+        assert g_ad != 0
 
     def test_torus_translate(self):
         # m0 shifts the local frame: the world-space translation
-        dr, q0 = setup(self._scene_torus(), n=32, seed=5)
-        fd_check(dr, q0, ("geom", "sdfs0_m0"), 2, 1e-5, 3e-2)
+        dr, q0 = setup(self._scene_torus(), n=32, seed=6)
+        g_ad, _ = fd_check(dr, q0, ("geom", "sdfs0_m0"), 2, 1e-6, 3e-2)
+        assert g_ad != 0
 
     def test_torus_frame(self):
         # one rotation/scale entry of the local frame matrix
         dr, q0 = setup(self._scene_torus(), n=32, seed=6)
-        fd_check(dr, q0, ("geom", "sdfs0_m"), 4, 1e-5, 3e-2)
-
-    def test_grad_nonzero(self):
-        dr, q0 = setup(self._scene_torus(), n=32, seed=4)
-        params = dr.params()
-        grads = jax.grad(lambda ps: dr.render_loss(ps, q0))(params)
-        assert float(np.abs(np.asarray(
-            grads["geom"]["sdfs0_prm"]))) > 0
+        g_ad, _ = fd_check(dr, q0, ("geom", "sdfs0_m"), 4, 1e-6, 3e-2)
+        assert g_ad != 0

@@ -13,8 +13,14 @@ directly at the bench batch size:
 
 Usage: python tools/profile_tpu.py [scene] [batch_log2]
 """
+import os
 import sys
 import time
+
+# repo root on the path (bench.py lives there); PYTHONPATH is NOT used —
+# on this image it breaks the TPU plugin registration
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
 
 import numpy as np
 import jax
