@@ -45,6 +45,29 @@ def camera_rays(ir: sir.SceneIR, sample_pos: np.ndarray, dtype):
     return p.astype(dtype), d.astype(dtype)
 
 
+def _interactive() -> bool:
+    """Prompts fire only on a real terminal (the reference always asks
+    on stdin, src/scene.c:1036-1097; batch/CI runs here keep the hard
+    error instead)."""
+    try:
+        return sys.stdin.isatty() and sys.stdout.isatty()
+    except Exception:
+        return False
+
+
+def _ask(question: str) -> bool:
+    """y/n stdin prompt (bcore-style [Y|N] query of the reference
+    driver, src/scene.c:1036-1097)."""
+    while True:
+        sys.stdout.write(f"{question} [y|n] ")
+        sys.stdout.flush()
+        ans = sys.stdin.readline().strip().lower()
+        if ans in ("y", "yes"):
+            return True
+        if ans in ("n", "no"):
+            return False
+
+
 class _SigintFlag:
     def __init__(self):
         self.received = False
@@ -75,7 +98,12 @@ def render_scene(scene, out_file: str, force: bool = False,
 
     tmp_file = out_file + ".tmp.lum_image.npz"
     lum = None
-    if os.path.exists(tmp_file) and recover:
+    use_ckpt = recover
+    if os.path.exists(tmp_file) and not recover and _interactive():
+        # reference prompt parity (src/scene.c:1068-1097): ask before
+        # using a recovery file when -r was not given
+        use_ckpt = _ask(f"Recovery file '{tmp_file}' found. Use it?")
+    if os.path.exists(tmp_file) and use_ckpt:
         lum = aimg.LumImage.load(tmp_file)
         if lum.width != cfg.image_width or lum.height != cfg.image_height:
             log("Checkpoint dimensions changed; restarting")
@@ -85,12 +113,21 @@ def render_scene(scene, out_file: str, force: bool = False,
             # re-run from its saved RNG state (reference src/scene.c:1103)
             log(f"Recovered checkpoint; resuming at gradient cycle "
                 f"{lum.gradient_cycle}")
+    resumed = lum is not None
     if lum is None:
         lum = aimg.LumImage(cfg.image_width, cfg.image_height)
 
-    if os.path.exists(out_file) and not force and not recover:
-        raise FileExistsError(
-            f"{out_file} exists (use force=True / -f to overwrite)")
+    if os.path.exists(out_file) and not force and not resumed:
+        # reference prompt parity (src/scene.c:1036-1067): ask before
+        # overwriting an existing output when -f was not given; without
+        # a terminal keep the hard error (non-interactive runs must not
+        # clobber silently)
+        if _interactive() and _ask(f"File '{out_file}' exists. "
+                                   f"Overwrite?"):
+            pass
+        else:
+            raise FileExistsError(
+                f"{out_file} exists (use force=True / -f to overwrite)")
 
     n_cycles = cfg.gradient_cycles if max_cycles is None \
         else min(cfg.gradient_cycles, max_cycles)

@@ -116,3 +116,47 @@ def test_acn_create_image_end_to_end(tmp_path):
     img = aimg.read_pnm(out)
     assert img.shape == (12, 16, 3)
     assert img.max() > 0.05   # lamp lights the floor
+
+
+def test_interactive_prompts(tmp_path, monkeypatch):
+    """Reference prompt parity (src/scene.c:1036-1097): on a terminal
+    the driver asks before overwriting output / using a checkpoint;
+    declining the overwrite keeps the hard error."""
+    from actinon_tpu.render import driver as drv
+
+    out = str(tmp_path / "p.pnm")
+    render_scene(small_scene(cycles=0), out, force=True,
+                 dtype=np.float64, verbose=False)
+    assert os.path.exists(out)
+
+    # non-interactive: existing output still raises
+    monkeypatch.setattr(drv, "_interactive", lambda: False)
+    with pytest.raises(FileExistsError):
+        render_scene(small_scene(cycles=0), out, dtype=np.float64,
+                     verbose=False)
+
+    # interactive decline -> error; accept -> rerender
+    monkeypatch.setattr(drv, "_interactive", lambda: True)
+    monkeypatch.setattr(drv, "_ask", lambda q: False)
+    with pytest.raises(FileExistsError):
+        render_scene(small_scene(cycles=0), out, dtype=np.float64,
+                     verbose=False)
+    monkeypatch.setattr(drv, "_ask", lambda q: True)
+    img = render_scene(small_scene(cycles=0), out, dtype=np.float64,
+                       verbose=False)
+    assert img.shape[2] == 3
+
+    # recovery prompt: a checkpoint + declined recovery renders fresh,
+    # accepted recovery resumes (no error, checkpoint consumed)
+    import actinon_tpu.render.image as ai
+    lum = ai.LumImage(small_scene().cfg.image_width,
+                      small_scene().cfg.image_height)
+    tmp_file = out + ".tmp.lum_image.npz"
+    lum.save(tmp_file)
+    asked = []
+    monkeypatch.setattr(drv, "_ask",
+                        lambda q: asked.append(q) or ("Recovery" in q))
+    render_scene(small_scene(cycles=0), out, dtype=np.float64,
+                 verbose=False)
+    assert any("Recovery" in q for q in asked)
+    assert not os.path.exists(tmp_file)
