@@ -660,6 +660,10 @@ class Integrator:
             # the shadow traversal stay bounded (many_spheres: ~1.4k leaves)
             from actinon_tpu.render.tracer import CHUNK as _LCHUNK
             W = max(1, min(len(self.tr.tab), _LCHUNK))
+            if self.tr._scene_ok() and self.tr._prefer_scene_shadow():
+                # table-kernel shadow: no [R, W] XLA temporaries exist,
+                # so the flat-ray budget only bounds kernel I/O
+                W = 64
             budget = min(1 << 20, (1 << 26) // W)
             s_chunk = max(1, min(self.direct_cap, budget // max(B, 1)))
             cl_sum = jnp.zeros((B, 3), dt)
@@ -752,6 +756,9 @@ class Integrator:
 
         from actinon_tpu.render.tracer import CHUNK as _LCHUNK
         W = max(1, min(len(self.tr.tab), _LCHUNK))
+        if self.tr._scene_ok() and self.tr._prefer_scene_shadow():
+            # table-kernel shadow: no [R, W] XLA temporaries (see _nee)
+            W = 64
         budget = min(1 << 20, (1 << 26) // W)
         s_chunk = max(1, min(self.direct_cap,
                              budget // max(B * Le, 1)))

@@ -686,3 +686,83 @@ def build_nee_kernel(integ, interpret=False):
         return jnp.stack([o.reshape(-1)[:B] for o in out], axis=-1)
 
     return fn
+
+
+# ---------------------------------------------------------------------------
+# single-object first-hit kernel (NEE light-geometry intersection)
+
+
+def build_object_hit_kernel(tracer, oid, interpret=False):
+    """fn(p [N,3], d [N,3]) -> a [N] (eps-backed first hit of ONE object,
+    INF on miss) — the NEE light intersection (obj_ray_hit(light_src),
+    reference src/scene.c:564) as straight-line codegen.  Returns None
+    when the object is not analytic or too large for the unrolled walk
+    (SDF emitters keep the XLA march)."""
+    pl, pltpu = _pl()
+    tab = tracer.tab
+    eps = float(tracer.eps)
+    rows = np.flatnonzero((tab.oid == oid) & tab.single)
+    desc = None
+    if len(rows):
+        desc = ("leaf", _leaf_const(tab, int(rows[0])))
+    else:
+        for comp in tracer.composites:
+            if comp.oid != oid:
+                continue
+            n_analytic = sum(1 for r in comp.rows if r >= 0)
+            if any(lf is not None for lf in comp.sdf_leaves) \
+                    or 2 * n_analytic > MAX_COMP_COLS:
+                return None
+            desc = ("comp", dict(
+                tree=comp.tree,
+                leaves=[_leaf_const(tab, r) for r in comp.rows],
+                env_c=[float(x) for x in comp.env_c]
+                if comp.env_c is not None else None,
+                env_r=float(comp.env_r), oid=comp.oid))
+            break
+    if desc is None:
+        return None
+
+    def kernel(px_r, py_r, pz_r, dx_r, dy_r, dz_r, out_r):
+        px, py, pz = px_r[:], py_r[:], pz_r[:]
+        dx, dy, dz = dx_r[:], dy_r[:], dz_r[:]
+        kind, dd = desc
+        if kind == "leaf":
+            a = _leaf_first_hit(px, py, pz, dx, dy, dz, dd, eps)
+            if dd["env_r"] > 0:
+                g = _env_gate(px, py, pz, dx, dy, dz, dd["env_c"],
+                              dd["env_r"])
+                a = jnp.where(g, a, INF)
+        else:
+            t_raw, _ = _comp_boundary(px, py, pz, dx, dy, dz, dd, eps)
+            a = jnp.where(jnp.isfinite(t_raw), t_raw - eps, INF)
+        out_r[:] = jnp.where(jnp.isfinite(a), a, 3e38)
+
+    tile = ROWS * 128
+
+    def fn(p, d):
+        N = p.shape[0]
+        Np = -(-N // tile) * tile
+        pad = Np - N
+        f32 = jnp.float32
+
+        def prep(v):
+            return jnp.pad(v.astype(f32), (0, pad)).reshape(-1, 128)
+
+        args = [prep(p[:, 0]), prep(p[:, 1]), prep(p[:, 2]),
+                prep(d[:, 0]), prep(d[:, 1]), prep(d[:, 2])]
+        nt = Np // 128
+        spec = pl.BlockSpec((ROWS, 128), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            kernel,
+            grid=(nt // ROWS,),
+            in_specs=[spec] * 6,
+            out_specs=spec,
+            out_shape=_out_struct((nt, 128), f32, args[0]),
+            interpret=interpret,
+        )(*args)
+        a = out.reshape(-1)[:N]
+        return jnp.where(a >= 3e38, INF, a)
+
+    return fn

@@ -496,7 +496,7 @@ def build_kernels(st: SceneTable, interpret=False):
     accept = np.float32(MARCH_ACCEPT * float(eps))
 
     def shape_boundary(sh: _Shape, b, tab_ref, px, py, pz, dx, dy, dz,
-                       mo_s, md_s, ma_s):
+                       mo_s, md_s, ma_s, sa_s):
         """(a [TR,128] eps-backed env-gated, leaf_loc int32 [TR,128],
         light [1,128]) of one shape block.  mo/md/ma are the shared
         march scratch refs (offset, dist, active)."""
@@ -545,31 +545,53 @@ def build_kernels(st: SceneTable, interpret=False):
             ma_s[:] = jnp.broadcast_to(jnp.where(dead, 0.0, 1.0),
                                        (TR, LB))
 
+            # U masked steps per fori iteration: the scalar loop + the
+            # any-reduce are the dominant cost once lanes converge (the
+            # table kernel runs ~30 marches x 200 cycles per tile, and
+            # per-iteration overhead alone was ~0.4 s per 32k-ray query).
+            # The active flag lives in SMEM (sa_s): skipped iterations
+            # then cost a scalar read + branch instead of a [TR, LB]
+            # VMEM reduction.
+            U = 8
+            sa_s[0] = jnp.any(~dead).astype(jnp.float32)
+
             def body(i, carry):
-                @pl.when(jnp.any(ma_s[:] > 0))
+                @pl.when(sa_s[0] > 0)
                 def _():
                     act = ma_s[:] > 0
                     dist = md_s[:]
-                    step = jnp.where(forward, dist + eps, -(dist - eps))
-                    offs1 = jnp.where(act, mo_s[:] + step, mo_s[:])
-                    dnew = _sdf_eval_lane(
-                        kind, prm,
-                        p0[0] + dl[0] * offs1,
-                        p0[1] + dl[1] * offs1,
-                        p0[2] + dl[2] * offs1)
-                    dist = jnp.where(act, dnew, dist)
-                    # select-on-bool lowers to an unsupported i8->i1
-                    # truncation in Mosaic; use logical ops instead
-                    crossed = (forward & ((dist < 0) | (dist > 1e30))) \
-                        | (~forward & ((dist > 0) | (dist < -1e30)))
-                    if stop_total is not None:
-                        crossed = crossed | (offs0 + offs1 > stop_total)
+                    offs1 = mo_s[:]
+                    for _k in range(U):
+                        if cycles % U and _k:
+                            # exact trip-count parity with the XLA
+                            # march when U does not divide cycles
+                            act = act & (i * U + _k < cycles)
+                        step = jnp.where(forward, dist + eps,
+                                         -(dist - eps))
+                        offs1 = jnp.where(act, offs1 + step, offs1)
+                        dnew = _sdf_eval_lane(
+                            kind, prm,
+                            p0[0] + dl[0] * offs1,
+                            p0[1] + dl[1] * offs1,
+                            p0[2] + dl[2] * offs1)
+                        dist = jnp.where(act, dnew, dist)
+                        # select-on-bool lowers to an unsupported
+                        # i8->i1 truncation in Mosaic; logical ops
+                        crossed = (forward
+                                   & ((dist < 0) | (dist > 1e30))) \
+                            | (~forward
+                               & ((dist > 0) | (dist < -1e30)))
+                        if stop_total is not None:
+                            crossed = crossed \
+                                | (offs0 + offs1 > stop_total)
+                        act = act & ~crossed
                     mo_s[:] = offs1
                     md_s[:] = dist
-                    ma_s[:] = jnp.where(act & ~crossed, 1.0, 0.0)
+                    ma_s[:] = jnp.where(act, 1.0, 0.0)
+                    sa_s[0] = jnp.any(act).astype(jnp.float32)
                 return carry
 
-            jax.lax.fori_loop(0, cycles, body, 0)
+            jax.lax.fori_loop(0, -(-cycles // U), body, 0)
             return offs0 + mo_s[:], md_s[:]
 
         if sh.kind == "singles":
@@ -668,17 +690,27 @@ def build_kernels(st: SceneTable, interpret=False):
         a = jnp.where(gate & (best < F32_BIG), best - eps, INF)
         return a, best_leaf, light
 
-    def block_cull(bounds_ref, bid, px, py, pz, dx, dy, dz):
+    def block_cull(bounds_ref, bid, px, py, pz, dx, dy, dz,
+                   lim=None, bl=None):
         """Any ray in the tile can touch the block bound (r2 < 0 means
-        unbounded: always process)."""
+        unbounded: always process).  For the any-hit query (lim/bl
+        given) the test is limit-aware: a block only matters to rays
+        that are still unblocked AND whose bound ENTRY lies within
+        their shadow limit (pallas_bigscene anyhit cull)."""
         r2 = bounds_ref[bid, 3]
         ex = bounds_ref[bid, 0] - px
         ey = bounds_ref[bid, 1] - py
         ez = bounds_ref[bid, 2] - pz
         s = ex * dx + ey * dy + ez * dz
         q = ex * ex + ey * ey + ez * ez - r2
-        hit = (s * s - q >= 0) & ((s > 0) | (q < 0))
-        return (r2 < 0) | jnp.any(hit)
+        disc = s * s - q
+        hit = (disc >= 0) & ((s > 0) | (q < 0))
+        if lim is None:
+            return (r2 < 0) | jnp.any(hit)
+        te = jnp.maximum(s - jnp.sqrt(jnp.where(disc >= 0, disc, 0.0)),
+                         0.0)
+        want = hit & (te <= lim) & (bl == 0.0)
+        return (r2 < 0) | jnp.any(want)
 
     lanes_iota = None  # built inside kernels
 
@@ -686,7 +718,8 @@ def build_kernels(st: SceneTable, interpret=False):
 
     def kernel_top2(bounds_ref, tab_ref, px_r, py_r, pz_r, dx_r, dy_r,
                     dz_r, lm_r, t1_o, t2_o, c1_o, c2_o,
-                    t1_s, t2_s, c1_s, c2_s, mo_s, md_s, ma_s):
+                    t1_s, t2_s, c1_s, c2_s, mo_s, md_s, ma_s,
+                    sa_s):
         px, py, pz = px_r[:], py_r[:], pz_r[:]
         dx, dy, dz = dx_r[:], dy_r[:], dz_r[:]
         lm = lm_r[:]
@@ -703,7 +736,7 @@ def build_kernels(st: SceneTable, interpret=False):
                 def _(sh=sh, b=b):
                     a, leaf_loc, light = shape_boundary(
                         sh, b, tab_ref, px, py, pz, dx, dy, dz,
-                        mo_s, md_s, ma_s)
+                        mo_s, md_s, ma_s, sa_s)
                     if sh.has_light:
                         a = jnp.where((light > 0) & (lm > 0), INF, a)
                     code = ((sh.shape_id << 24)
@@ -745,7 +778,8 @@ def build_kernels(st: SceneTable, interpret=False):
     # -- any-hit kernel ----------------------------------------------------
 
     def kernel_anyhit(bounds_ref, tab_ref, px_r, py_r, pz_r, dx_r, dy_r,
-                      dz_r, lim_r, out_r, bl_s, mo_s, md_s, ma_s):
+                      dz_r, lim_r, out_r, bl_s, mo_s, md_s, ma_s,
+                      sa_s):
         px, py, pz = px_r[:], py_r[:], pz_r[:]
         dx, dy, dz = dx_r[:], dy_r[:], dz_r[:]
         lim = lim_r[:]
@@ -753,13 +787,13 @@ def build_kernels(st: SceneTable, interpret=False):
 
         for sh in st.shapes:
             for b in range(sh.n_blocks):
-                @pl.when(jnp.any(bl_s[:] == 0.0)
-                         & block_cull(bounds_ref, sh.bid0 + b,
-                                      px, py, pz, dx, dy, dz))
+                @pl.when(block_cull(bounds_ref, sh.bid0 + b,
+                                    px, py, pz, dx, dy, dz,
+                                    lim=lim, bl=bl_s[:]))
                 def _(sh=sh, b=b):
                     a, _, _ = shape_boundary(
                         sh, b, tab_ref, px, py, pz, dx, dy, dz,
-                        mo_s, md_s, ma_s)
+                        mo_s, md_s, ma_s, sa_s)
                     hit = jnp.min(a, axis=1, keepdims=True) <= lim
                     bl_s[:] = jnp.maximum(bl_s[:], hit.astype(jnp.float32))
         out_r[:] = bl_s[:]
@@ -795,7 +829,8 @@ def build_kernels(st: SceneTable, interpret=False):
             + [_out_struct((Np, 1), jnp.int32, p)] * 2,
             scratch_shapes=[pltpu.VMEM((TR, 1), jnp.float32)] * 2
             + [pltpu.VMEM((TR, 1), jnp.int32)] * 2
-            + [pltpu.VMEM((TR, LB), jnp.float32)] * 3,
+            + [pltpu.VMEM((TR, LB), jnp.float32)] * 3
+            + [pltpu.SMEM((1,), jnp.float32)],
             interpret=interpret,
         )(bounds, table, *rays)
         t12 = jnp.concatenate([out[0][:N], out[1][:N]], axis=1)
@@ -824,7 +859,8 @@ def build_kernels(st: SceneTable, interpret=False):
             out_specs=ray_spec,
             out_shape=_out_struct((Np, 1), jnp.float32, p),
             scratch_shapes=[pltpu.VMEM((TR, 1), jnp.float32)]
-            + [pltpu.VMEM((TR, LB), jnp.float32)] * 3,
+            + [pltpu.VMEM((TR, LB), jnp.float32)] * 3
+            + [pltpu.SMEM((1,), jnp.float32)],
             interpret=interpret,
         )(bounds, table, *rays)
         return out[:N, 0] > 0

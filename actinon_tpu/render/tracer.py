@@ -2218,6 +2218,18 @@ class Tracer:
         dt = self.dtype
         p = jnp.asarray(p, dt)
         d = jnp.asarray(d, dt)
+        # TPU: straight-line codegen kernel for analytic objects — the
+        # NEE loop calls this per sample chunk, and the XLA composite
+        # walk was a large share of hanging_lamp's NEE block
+        if self._scene_ok() or self._pallas_ok():
+            if not hasattr(self, "_objhit_k"):
+                self._objhit_k = {}
+            if oid not in self._objhit_k:
+                from actinon_tpu.render import pallas_kernels as pk
+                self._objhit_k[oid] = pk.build_object_hit_kernel(
+                    self, oid, interpret=self.use_scene_interpret)
+            if self._objhit_k[oid] is not None:
+                return self._objhit_k[oid](p, d)
         tabs = self._assemble()
         rows = np.flatnonzero((self.tab.oid == oid) & self.tab.single)
         if len(rows):

@@ -415,6 +415,12 @@ def main():
     extra = {}
     if isinstance(head, dict):
         extra["wine_glass_warmup_s"] = head.get("warmup_s")
+        # warm-vs-cold split (round-4 verdict next #5): a fresh process
+        # rerunning the same leg pays persistent-cache lookups + trace
+        # time only; the difference is the true compile cost
+        head2 = _leg_subprocess("headline")
+        if isinstance(head2, dict):
+            extra["wine_glass_warm_warmup_s"] = head2.get("warmup_s")
     else:
         extra["wine_glass_error"] = head
     if not quick:
@@ -427,6 +433,14 @@ def main():
                     extra[f"{name}_vs_cpu"] = round(
                         out["qps"] / CPU_PINS[name], 3)
                 extra[f"{name}_warmup_s"] = out.get("warmup_s")
+                if name == "hanging_lamp":
+                    # the composite-heavy scene also reports its warm
+                    # warmup (its Pallas table kernels are the largest
+                    # compiles in the suite)
+                    out2 = _leg_subprocess(f"scene:{name}")
+                    if isinstance(out2, dict):
+                        extra[f"{name}_warm_warmup_s"] = \
+                            out2.get("warmup_s")
             else:
                 extra[f"{name}_qps"] = out
         out = _leg_subprocess("fwd_bwd")

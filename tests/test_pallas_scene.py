@@ -193,3 +193,25 @@ def test_scene_coherent_tile(tracers):
     np.testing.assert_allclose(t_k[both], t_x[both], rtol=2e-4,
                                atol=2e-4)
     assert (oid_k[both] == oid_x[both]).mean() > 0.99
+
+
+def test_object_hit_kernel(tracers):
+    """A/B: the straight-line single-object hit kernel (the NEE light
+    intersection) vs the XLA object_hit_t, for a single-leaf object, an
+    analytic composite, and an SDF object (kernel declines -> XLA)."""
+    tr_k, tr_x = tracers
+    p, d = _rays(n=300, seed=13)
+    comp_oid = next(o.oid if hasattr(o, "oid") else i
+                    for i, o in enumerate(tr_x.ir.objects)
+                    if not o.single_leaf)
+    sdf_oid = tr_x.sdf_singles[0][1]
+    single_oid = int(tr_x.tab.oid[tr_x.single_rows[0]])
+    for oid in (single_oid, comp_oid, sdf_oid):
+        a_k = np.asarray(tr_k.object_hit_t(oid, p, d))
+        a_x = np.asarray(tr_x.object_hit_t(oid, p, d))
+        both = np.isfinite(a_x) & np.isfinite(a_k)
+        assert (np.isfinite(a_k) == np.isfinite(a_x)).mean() > 0.995
+        if both.any():
+            np.testing.assert_allclose(a_k[both], a_x[both], rtol=2e-4,
+                                       atol=2e-4)
+    assert tr_k._objhit_k[sdf_oid] is None     # SDF: XLA fallback
