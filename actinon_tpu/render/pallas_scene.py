@@ -59,7 +59,7 @@ from actinon_tpu.scene import ir as sir
 
 INF = jnp.inf
 F32_BIG = np.float32(3e38)
-TR = 128          # rays per tile (sublane dimension)
+TR = 256          # rays per tile (sublane dimension)
 LB = 128          # members per block (lane dimension)
 NC_CAP = 64       # max crossing columns per shape (walk is O(NC^2))
 LC_CAP = 32       # max leaves per shape

@@ -329,6 +329,28 @@ class _Composite:
 # src/compound.c:215-244).
 
 
+def _sdf_leaf_bound(lf):
+    """Conservative bounding sphere of one positive SDF leaf from its
+    local frame: the unit shape (sphere r=1 / torus ring 1 + tube prm)
+    mapped through the inverse affine transform."""
+    if lf.neg:
+        return None
+    m = np.asarray(lf.m, np.float64)
+    try:
+        minv = np.linalg.inv(m)
+    except np.linalg.LinAlgError:
+        return None
+    if lf.sdf_kind == sir.SDF_SPHERE:
+        r_local = 1.0
+    elif lf.sdf_kind == sir.SDF_TORUS:
+        r_local = 1.0 + float(lf.sdf_param)
+    else:
+        return None
+    c = minv @ (-np.asarray(lf.m0, np.float64))
+    smax = float(np.linalg.svd(minv, compute_uv=False)[0])
+    return (c, r_local * smax)
+
+
 def _leaf_bound(tab, row):
     """Conservative bounding sphere of one positive analytic leaf, or
     None when unbounded (planes, negations, open quadrics)."""
@@ -353,16 +375,20 @@ def _leaf_bound(tab, row):
     return None
 
 
-def _tree_bound(tree, rows, tab):
+def _tree_bound(tree, rows, tab, sdf_leaves=None):
     """Bounding sphere of a subtree (None = unbounded).  An intersection
     is bounded by ANY bounded operand; a union needs both."""
     if tree[0] == "leaf":
         row = rows[tree[1]]
-        return None if row < 0 else _leaf_bound(tab, row)
+        if row >= 0:
+            return _leaf_bound(tab, row)
+        if sdf_leaves is not None and sdf_leaves[tree[1]] is not None:
+            return _sdf_leaf_bound(sdf_leaves[tree[1]])
+        return None
     if tree[0] == "not":
         return None
-    b1 = _tree_bound(tree[1], rows, tab)
-    b2 = _tree_bound(tree[2], rows, tab)
+    b1 = _tree_bound(tree[1], rows, tab, sdf_leaves)
+    b2 = _tree_bound(tree[2], rows, tab, sdf_leaves)
     if tree[0] == "and":
         if b1 is None:
             return b2
@@ -407,15 +433,17 @@ def _reindex_tree(tree, mapping):
 
 
 def _decompose_composite(comp, tab, eps):
-    """Split an all-analytic composite's top-level union into
-    mini-composites for its spatially disjoint components.  Components
+    """Split a composite's top-level union into mini-composites for its
+    spatially disjoint components (analytic AND SDF leaves — SDF parts
+    bound through their local frames, _sdf_leaf_bound).  Components
     keep the parent's oid/material identity; bounded components get
     their own tight envelope.  Returns [comp] unchanged when nothing
     splits."""
     parts = _or_parts(comp.tree)
     if len(parts) < 2:
         return [comp]
-    bounds = [_tree_bound(p, comp.rows, tab) for p in parts]
+    bounds = [_tree_bound(p, comp.rows, tab, comp.sdf_leaves)
+              for p in parts]
     # connected components under "bounds may overlap" (None = everywhere)
     n = len(parts)
     parent = list(range(n))
@@ -471,13 +499,13 @@ def _decompose_composite(comp, tab, eps):
         mapping = {l: k for k, l in enumerate(locs)}
         new_tree = _reindex_tree(tree, mapping)
         new_rows = [comp.rows[l] for l in locs]
+        new_sdfs = [comp.sdf_leaves[l] for l in locs]
         if bound is not None:
             env_c, env_r = bound[0], bound[1] * 1.001 + 4.0 * eps
         else:
             env_c, env_r = comp.env_c, comp.env_r
-        sub = _Composite(comp.oid, new_tree, new_rows,
-                         [None] * len(new_rows), env_c, env_r,
-                         comp.is_light)
+        sub = _Composite(comp.oid, new_tree, new_rows, new_sdfs,
+                         env_c, env_r, comp.is_light)
         out.append(sub)
     return out
 
@@ -554,7 +582,13 @@ class Tracer:
         self.comp_solo = []
         for comp in composites:
             if any(lf is not None for lf in comp.sdf_leaves):
-                self.comp_solo.append(comp)
+                # SDF composites or-decompose too (round 5): the lamp
+                # assemblies are unions of small disjoint parts, and
+                # splitting them cuts the crossing-walk candidate count
+                # quadratically while giving each part a tight envelope
+                # (march clip + pair-compaction gates)
+                self.comp_solo.extend(
+                    _decompose_composite(comp, tab, self.eps))
                 continue
             # or-decomposition first: disjoint union components evaluate
             # independently with tight envelopes, and their small trees
