@@ -19,6 +19,17 @@ from actinon_tpu.scene.objects import (
 )
 
 
+@pytest.fixture(autouse=True)
+def _clear_jax_caches_per_test():
+    """XLA:CPU segfaults inside backend_compile_and_load once enough
+    compilations accumulate in one process (see conftest.py); this
+    module compiles the heaviest programs in the suite (value_and_grad
+    over multi-bounce replay chains), so it drops the caches after
+    EVERY test, not just at the module boundary."""
+    yield
+    jax.clear_caches()
+
+
 def make_scene(glass=False, lens=False, path_samples=0, direct_samples=4,
                depth=6, sigma=0.0):
     sc = Scene()
