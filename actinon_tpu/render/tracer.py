@@ -1710,6 +1710,19 @@ class Tracer:
         return bool(self.comp_solo) \
             or any(not light for *_, light in self.sdf_singles)
 
+    def _prefer_scene_query(self):
+        """The table kernel carries the nearest/transition query only
+        for scenes that need it: march-bound content (SDF composites /
+        standalone SDFs) or large member populations.  Small
+        all-analytic scenes (wine_glass, diamond) keep the pure-XLA
+        query, which fuses INTO the drain step's single XLA program —
+        a pallas_call boundary there costs more than it saves."""
+        if self.comp_solo or self.sdf_singles:
+            return True
+        n_members = len(self.single_rows) \
+            + sum(len(g) for g in self.comp_groups)
+        return n_members > 192
+
     def _sdf_normal_dyn(self, kind, prm, m, ql, neg):
         """Forward-difference SDF gradient normal with PER-RAY frames
         (the outside-kernel winner reconstruction of the scene kernel;
@@ -1808,7 +1821,7 @@ class Tracer:
         # oversized leftovers and the big-scene population remain for
         # the XLA columns below
         use_big = self._bigscene_ok()
-        use_scene = self._scene_ok()
+        use_scene = self._scene_ok() and self._prefer_scene_query()
         stf = None
         if use_scene:
             stf, _stm, scene_top2, _ah = self._scene_kernels()
