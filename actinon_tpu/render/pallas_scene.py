@@ -22,8 +22,11 @@ tiles.  Every (ray-tile x member-block) pair then evaluates as straight
     members marching together in VMEM scratch, envelope-clipped per
     lane, early-exiting per tile via pl.when(any(active)),
   * the CSG boundary: the crossing-parity walk of tracer._walk
-    (reference pair-marching src/objects.c:1052-1094) unrolled over the
-    shape's static crossing columns,
+    (reference pair-marching src/objects.c:1052-1094) — as a sorted
+    incremental toggle sweep (Batcher network over the shape's static
+    crossing columns, then one in-order pass where each crossing flips
+    its leaf's inside bit) when that is statically cheaper, else the
+    per-candidate pairwise-parity unroll; both are parity-exact,
   * a running global top-2 across every lane of every shape (the merge
     of pallas_bigscene.build_top2_kernel), winners identified by a
     packed (shape, member, leaf) code that the tracer decodes outside
@@ -472,6 +475,33 @@ def _tree_eval(tree, bits):
     raise ValueError(tree)
 
 
+def _tree_nodes(tree):
+    if tree[0] == "leaf":
+        return 1
+    if tree[0] == "not":
+        return 1 + _tree_nodes(tree[1])
+    return 1 + _tree_nodes(tree[1]) + _tree_nodes(tree[2])
+
+
+def _sort_network(n):
+    """Batcher odd-even mergesort comparator pairs for n inputs (the
+    power-of-2 network pruned of comparators that touch +INF-padded
+    slots — exact for ascending sorts because a comparator whose upper
+    index is padding never moves anything)."""
+    pairs = []
+    p = 1
+    while p < n:
+        k = p
+        while k >= 1:
+            for j in range(k % p, n - k, 2 * k):
+                for i in range(min(k, n - j - k)):
+                    if (i + j) // (p * 2) == (i + j + k) // (p * 2):
+                        pairs.append((i + j, i + j + k))
+            k >>= 1
+        p <<= 1
+    return pairs
+
+
 # ---------------------------------------------------------------------------
 # kernel builder
 
@@ -495,11 +525,35 @@ def build_kernels(st: SceneTable, interpret=False):
     from actinon_tpu.render.tracer import MARCH_ACCEPT
     accept = np.float32(MARCH_ACCEPT * float(eps))
 
+    # adaptive ray-tile size (shadows the module TR inside this builder):
+    # the sorted toggle walk keeps ~(2NC + Lc) [TR, 128] values live at
+    # once, and Mosaic's scoped-VMEM stack is ~16 MB — scenes whose
+    # largest shape would blow that at 256-ray tiles drop to 128
+    # (TR=256 was worth only ~1.5% on hanging_lamp, PROFILE_r05).
+    peak_tiles = 12
+    for sh in st.shapes:
+        if sh.kind != "cluster":
+            continue
+        nc = 2 * len(sh.an_slots) + 4 * len(sh.sdf_slots)
+        nodes = _tree_nodes(sh.tree)
+        srt = 5 * len(_sort_network(nc)) + nc * (2 * sh.Lc + nodes + 7)
+        nc2 = 6 * nc * nc + 2 * nc * (sh.Lc + nodes)
+        live = (2 * nc + sh.Lc + 12) if srt < nc2 \
+            else (nc + 2 * sh.Lc + 12)
+        peak_tiles = max(peak_tiles, live)
+    TR = 256 if peak_tiles * 256 * LB * 4 < 11 * (1 << 20) else 128
+
     def shape_boundary(sh: _Shape, b, tab_ref, px, py, pz, dx, dy, dz,
-                       mo_s, md_s, ma_s, sa_s):
+                       mo_s, md_s, ma_s, sa_s, lim=None):
         """(a [TR,128] eps-backed env-gated, leaf_loc int32 [TR,128],
         light [1,128]) of one shape block.  mo/md/ma are the shared
-        march scratch refs (offset, dist, active)."""
+        march scratch refs (offset, dist, active).
+
+        lim ([TR,1], any-hit query only) additionally bails marches past
+        the per-ray shadow limit: crossings beyond it are rejected by
+        the caller's `<= lim` test anyway, and NEE shadow rays are SHORT
+        (bounded by the light hit; 0 where the light sample missed), so
+        limit-bailed lanes skip most of their march budget."""
         base = sh.row_off + b * sh.rows_per_block
         row = lambda i: tab_ref[base + i:base + i + 1, :]
         alive = row(0)
@@ -612,8 +666,11 @@ def build_kernels(st: SceneTable, interpret=False):
             dead = ~gate
             # world start at envelope entry (outside-only), local units
             offs0 = t_in_raw * dn
+            stop_w = t_out_raw + slack
+            if lim is not None:
+                stop_w = jnp.minimum(stop_w, lim + slack)
             offs_l, dist = march(kind, cycles, prm, plv, dl, offs0, dead,
-                                 (t_out_raw + slack) * dn)
+                                 stop_w * dn)
             hit = gate & (jnp.abs(dist) <= accept)
             dn_inv = jnp.where(dn > 0, 1.0 / jnp.where(dn > 0, dn, 1.0),
                                1.0)
@@ -645,7 +702,9 @@ def build_kernels(st: SceneTable, interpret=False):
             # envelope interval
             offs = t_in * dn
             dead = ~gate
-            stop_l = t_out * dn
+            t_stop = t_out if lim is None \
+                else jnp.minimum(t_out, lim + slack)
+            stop_l = t_stop * dn
             for _c in range(4):
                 offs_l, dist = march(kind, cycles, prm, plv, dl, offs,
                                      dead, stop_l)
@@ -662,31 +721,84 @@ def build_kernels(st: SceneTable, interpret=False):
             inside[li] = _sdf_eval_lane(kind, prm, *pq) <= 0
 
         NC = len(cross)
-        best = jnp.full((TR, LB), INF, jnp.float32)
-        best_leaf = jnp.zeros((TR, LB), jnp.int32)
-        for j in range(NC):
-            tj = cross[j]
-            vj = tj < F32_BIG
-            pa = [None] * sh.Lc
-            pb = [None] * sh.Lc
-            for c in range(NC):
-                li = col_leaf[c]
-                vc = cross[c] < F32_BIG
-                xa = (cross[c] <= tj) & vc
-                xb = (cross[c] < tj) & vc
-                pa[li] = xa if pa[li] is None else pa[li] ^ xa
-                pb[li] = xb if pb[li] is None else pb[li] ^ xb
-            ba = [inside[li] ^ (pa[li] if pa[li] is not None
-                                else jnp.zeros_like(vj))
-                  for li in range(sh.Lc)]
-            bb = [inside[li] ^ (pb[li] if pb[li] is not None
-                                else jnp.zeros_like(vj))
-                  for li in range(sh.Lc)]
-            flip = (_tree_eval(sh.tree, ba) != _tree_eval(sh.tree, bb)) \
-                & vj
-            win = flip & (tj < best)
-            best = jnp.where(win, tj, best)
-            best_leaf = jnp.where(win, col_leaf[j], best_leaf)
+        nodes = _tree_nodes(sh.tree)
+        pairs = _sort_network(NC)
+        # tile-op estimates of the two walk formulations; pick the
+        # cheaper one statically (both are parity-exact, see below)
+        cost_sorted = 5 * len(pairs) + NC * (2 * sh.Lc + nodes + 7)
+        cost_nc2 = 6 * NC * NC + 2 * NC * (sh.Lc + nodes)
+        if cost_sorted < cost_nc2:
+            # -- sorted incremental toggle walk --------------------------
+            # Sort the NC crossing columns ascending per lane (Batcher
+            # network; INF = invalid sorts last), then sweep once: each
+            # crossing TOGGLES its leaf's inside bit — identical to the
+            # pairwise crossing-parity state (state after t = inside0 ^
+            # count(crossings <= t)), at O(NC log^2 NC) compare-exchanges
+            # instead of O(NC^2) pair compares.  Coincident crossings
+            # (equal t) flip JOINTLY exactly like the XLA walk's <=/<
+            # pair: the flip test fires only where a tie run ends
+            # (t_j != t_{j+1}), comparing against the tree state from
+            # before the run; toggles commute, so the within-run apply
+            # order the network leaves is irrelevant.  Winner-leaf
+            # attribution inside a cross-leaf tie run takes the run's
+            # LAST column (the XLA argmin takes the first) — same
+            # accepted tie-order caveat as the pair-compacted merge
+            # (tracer._pair_compact_on policy note).
+            t_s = list(cross)
+            lf_s = [jnp.full((TR, LB), int(li), jnp.int32)
+                    for li in col_leaf]
+            for i, j in pairs:
+                swap = t_s[i] > t_s[j]
+                t_s[i], t_s[j] = (jnp.where(swap, t_s[j], t_s[i]),
+                                  jnp.where(swap, t_s[i], t_s[j]))
+                lf_s[i], lf_s[j] = (jnp.where(swap, lf_s[j], lf_s[i]),
+                                    jnp.where(swap, lf_s[i], lf_s[j]))
+            state = [inside[li] for li in range(sh.Lc)]
+            v_run = _tree_eval(sh.tree, state)
+            found = jnp.zeros((TR, LB), bool)
+            best = jnp.full((TR, LB), INF, jnp.float32)
+            best_leaf = jnp.zeros((TR, LB), jnp.int32)
+            for j in range(NC):
+                for li in range(sh.Lc):
+                    state[li] = state[li] ^ (lf_s[j] == li)
+                v_new = _tree_eval(sh.tree, state)
+                t_next = t_s[j + 1] if j + 1 < NC else INF
+                run_end = t_s[j] != t_next     # False for INF (invalid)
+                flip = run_end & (v_new ^ v_run)
+                win = flip & ~found
+                found = found | flip
+                best = jnp.where(win, t_s[j], best)
+                best_leaf = jnp.where(win, lf_s[j], best_leaf)
+                # select-on-bool lowers to an unsupported i8->i1
+                # truncation in Mosaic; logical ops
+                v_run = (v_run & ~run_end) | (v_new & run_end)
+        else:
+            # -- per-candidate pairwise parity walk ----------------------
+            best = jnp.full((TR, LB), INF, jnp.float32)
+            best_leaf = jnp.zeros((TR, LB), jnp.int32)
+            for j in range(NC):
+                tj = cross[j]
+                vj = tj < F32_BIG
+                pa = [None] * sh.Lc
+                pb = [None] * sh.Lc
+                for c in range(NC):
+                    li = col_leaf[c]
+                    vc = cross[c] < F32_BIG
+                    xa = (cross[c] <= tj) & vc
+                    xb = (cross[c] < tj) & vc
+                    pa[li] = xa if pa[li] is None else pa[li] ^ xa
+                    pb[li] = xb if pb[li] is None else pb[li] ^ xb
+                ba = [inside[li] ^ (pa[li] if pa[li] is not None
+                                    else jnp.zeros_like(vj))
+                      for li in range(sh.Lc)]
+                bb = [inside[li] ^ (pb[li] if pb[li] is not None
+                                    else jnp.zeros_like(vj))
+                      for li in range(sh.Lc)]
+                flip = (_tree_eval(sh.tree, ba)
+                        != _tree_eval(sh.tree, bb)) & vj
+                win = flip & (tj < best)
+                best = jnp.where(win, tj, best)
+                best_leaf = jnp.where(win, col_leaf[j], best_leaf)
         a = jnp.where(gate & (best < F32_BIG), best - eps, INF)
         return a, best_leaf, light
 
@@ -793,7 +905,7 @@ def build_kernels(st: SceneTable, interpret=False):
                 def _(sh=sh, b=b):
                     a, _, _ = shape_boundary(
                         sh, b, tab_ref, px, py, pz, dx, dy, dz,
-                        mo_s, md_s, ma_s, sa_s)
+                        mo_s, md_s, ma_s, sa_s, lim=lim)
                     hit = jnp.min(a, axis=1, keepdims=True) <= lim
                     bl_s[:] = jnp.maximum(bl_s[:], hit.astype(jnp.float32))
         out_r[:] = bl_s[:]
